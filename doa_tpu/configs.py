@@ -1,0 +1,213 @@
+"""Configuration system for doa_tpu.
+
+The reference spreads configuration over three tiers (block constructor args,
+GRC XML parameter schemas, calibration files — SURVEY.md §5 "Config / flag
+system"). Here it is a single tree of frozen (hashable) dataclasses so a
+config can be a *static* argument to `jax.jit`: one compiled pipeline per
+config, matching "one fused pipeline function per configuration".
+
+The five named presets mirror BASELINE.json `configs[0..4]`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class AvgMethod(enum.IntEnum):
+    """Covariance averaging method (reference `autocorrelate` arg `avg_method`)."""
+
+    NONE = 0
+    FORWARD_BACKWARD = 1
+
+
+class Estimator(str, enum.Enum):
+    MUSIC = "music"
+    CAPON = "capon"          # Capon-MVDR — required by BASELINE north-star.
+    ROOT_MUSIC = "root_music"
+
+
+@dataclasses.dataclass(frozen=True)
+class ArrayGeometry:
+    """Antenna array geometry.
+
+    `kind="ula"`: uniform linear array of `num_elements` elements spaced
+    `norm_spacing` wavelengths apart; broadside is 90°, angles measured from
+    the array axis (endfire), theta ∈ [0°, 180°] — the reference's
+    `MUSIC_lin_array` convention (SURVEY.md §2.1 C2).
+
+    `kind="ura"`: uniform rectangular (planar) array with `shape=(nx, ny)`
+    elements, same normalized spacing on both axes; scanned in azimuth /
+    elevation (BASELINE config 5).
+    """
+
+    kind: str = "ula"
+    num_elements: int = 4
+    norm_spacing: float = 0.5  # element spacing / wavelength (d/λ)
+    shape: Optional[Tuple[int, int]] = None  # only for kind="ura"
+
+    def __post_init__(self):
+        if self.kind not in ("ula", "ura"):
+            raise ValueError(f"unknown array kind {self.kind!r}")
+        if self.kind == "ura":
+            if self.shape is None:
+                raise ValueError("ura geometry requires shape=(nx, ny)")
+            nx, ny = self.shape
+            if nx * ny != self.num_elements:
+                raise ValueError(
+                    f"shape {self.shape} inconsistent with num_elements "
+                    f"{self.num_elements}"
+                )
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec1D:
+    """Steering-scan grid over theta ∈ [lo, hi] degrees, `num_points` bins.
+
+    Mirrors the reference's `pspectrum_len` over [0°, 180°].
+    """
+
+    num_points: int = 180
+    lo_deg: float = 0.0
+    hi_deg: float = 180.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec2D:
+    """Az/el scan grid for planar arrays (BASELINE config 5)."""
+
+    num_az: int = 180
+    num_el: int = 90
+    az_lo_deg: float = -90.0
+    az_hi_deg: float = 90.0
+    el_lo_deg: float = 0.0
+    el_hi_deg: float = 90.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SmoothingSpec:
+    """Forward(-backward) spatial smoothing for correlated sources
+    (BASELINE config 3). `subarray_size` L: average the (N-L+1) leading
+    principal L×L submatrices of R. Disabled when subarray_size == 0.
+    """
+
+    subarray_size: int = 0
+
+    @property
+    def enabled(self) -> bool:
+        return self.subarray_size > 0
+
+
+@dataclasses.dataclass(frozen=True)
+class WidebandSpec:
+    """Per-subband FFT channelizer + incoherent spectrum fusion
+    (BASELINE config 5). Disabled when num_subbands <= 1."""
+
+    num_subbands: int = 1
+    center_norm_freq: float = 0.0  # normalized center frequency of the band
+
+    @property
+    def enabled(self) -> bool:
+        return self.num_subbands > 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DoaConfig:
+    """Full pipeline configuration: geometry + windowing + estimator."""
+
+    geometry: ArrayGeometry = ArrayGeometry()
+    snapshot_size: int = 256          # samples per covariance window (S)
+    overlap: int = 0                  # overlapped samples between windows (O)
+    num_sources: int = 1              # K — assumed signal-subspace dimension
+    estimators: Tuple[Estimator, ...] = (Estimator.MUSIC,)
+    grid: GridSpec1D = GridSpec1D()
+    grid2d: Optional[GridSpec2D] = None
+    avg_method: AvgMethod = AvgMethod.NONE
+    smoothing: SmoothingSpec = SmoothingSpec()
+    wideband: WidebandSpec = WidebandSpec()
+    num_max_vals: int = 1             # peaks to report (reference find_local_max)
+    capon_diag_load: float = 1e-4     # diagonal loading for Capon R⁻¹ (× tr(R)/N)
+    compute_dtype: str = "float32"    # "float32" | "bfloat16" scan precision
+
+    def __post_init__(self):
+        if not (0 <= self.overlap < self.snapshot_size):
+            raise ValueError("need 0 <= overlap < snapshot_size")
+        if self.num_sources >= self.effective_num_elements:
+            raise ValueError("num_sources must be < effective array size")
+
+    @property
+    def hop(self) -> int:
+        """Snapshot hop = snapshot_size − overlap (reference decimation)."""
+        return self.snapshot_size - self.overlap
+
+    @property
+    def effective_num_elements(self) -> int:
+        """Array size seen by the estimator (subarray size when smoothing)."""
+        if self.smoothing.enabled:
+            return self.smoothing.subarray_size
+        return self.geometry.num_elements
+
+
+# ---------------------------------------------------------------------------
+# The five named presets from BASELINE.json `configs`.
+# ---------------------------------------------------------------------------
+
+PRESETS = {
+    # "4-element ULA, single complex-tone source, MUSIC on 256-snapshot
+    #  covariance, CPU-runnable recorded IQ"
+    "c1_ula4_tone": DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=4, norm_spacing=0.5),
+        snapshot_size=256,
+        num_sources=1,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024),
+    ),
+    # "8-element ULA, 2 uncorrelated sources, MUSIC + Capon-MVDR, 1° steering
+    #  grid, 2048 snapshots"
+    "c2_ula8_2src": DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8, norm_spacing=0.5),
+        snapshot_size=2048,
+        num_sources=2,
+        estimators=(Estimator.MUSIC, Estimator.CAPON),
+        grid=GridSpec1D(num_points=181),  # 1° over [0, 180]
+        num_max_vals=2,
+    ),
+    # "16-element ULA with phase/gain calibration stage, 3 sources incl.
+    #  correlated pair (spatial smoothing)"
+    "c3_ula16_calib_smooth": DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16, norm_spacing=0.5),
+        snapshot_size=1024,
+        num_sources=3,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024),
+        avg_method=AvgMethod.FORWARD_BACKWARD,
+        smoothing=SmoothingSpec(subarray_size=12),
+        num_max_vals=3,
+    ),
+    # "16-element array, streaming overlap-save covariance updates at
+    #  10 Msps/channel, sliding-window tracking of moving emitters"
+    "c4_ula16_streaming": DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16, norm_spacing=0.5),
+        snapshot_size=1024,
+        overlap=512,
+        num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024),
+        num_max_vals=2,
+    ),
+    # "64-element planar array, 2-D az/el MUSIC scan, wideband sources via
+    #  per-subband FFT channelizer + incoherent spectrum fusion"
+    "c5_ura64_wideband": DoaConfig(
+        geometry=ArrayGeometry(
+            kind="ura", num_elements=64, norm_spacing=0.5, shape=(8, 8)
+        ),
+        snapshot_size=1024,
+        num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid2d=GridSpec2D(num_az=181, num_el=91),
+        wideband=WidebandSpec(num_subbands=16),
+        num_max_vals=2,
+    ),
+}

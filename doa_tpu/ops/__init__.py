@@ -1,0 +1,45 @@
+"""Core DoA ops: pure-functional JAX over snapshot-batched arrays.
+
+Every op takes/returns arrays with a leading snapshot-batch axis B —
+the TPU-native form of the reference's "one covariance matrix per stream
+item" idiom (SURVEY.md §1).
+"""
+
+from doa_tpu.ops.steering import (
+    ula_steering,
+    ura_steering,
+    ula_grid,
+    ura_grid,
+)
+from doa_tpu.ops.covariance import (
+    frame_samples,
+    sample_covariance,
+    forward_backward,
+    spatial_smooth,
+    streaming_covariance,
+)
+from doa_tpu.ops.subspace import noise_subspace, signal_subspace, eigh_batched
+from doa_tpu.ops.music import music_spectrum, noise_projector
+from doa_tpu.ops.capon import capon_spectrum
+from doa_tpu.ops.root_music import root_music
+from doa_tpu.ops.peaks import find_local_max
+
+__all__ = [
+    "ula_steering",
+    "ura_steering",
+    "ula_grid",
+    "ura_grid",
+    "frame_samples",
+    "sample_covariance",
+    "forward_backward",
+    "spatial_smooth",
+    "streaming_covariance",
+    "noise_subspace",
+    "signal_subspace",
+    "eigh_batched",
+    "music_spectrum",
+    "noise_projector",
+    "capon_spectrum",
+    "root_music",
+    "find_local_max",
+]

@@ -1,0 +1,131 @@
+"""Fused DoA pipelines: config → one jit-compiled function.
+
+The reference runs a thread-per-block flowgraph (ingest → correct →
+autocorrelate → MUSIC → peaks, SURVEY §3.1); here each configuration
+compiles to ONE XLA program over the whole snapshot batch:
+
+    samples c64[T, N] ─ calib correct ─ frame/chunk ─ R[B,N,N] ─ eigh ─
+      spectra f32[B,G] per estimator ─ peaks (vals, locs)
+
+XLA fuses the element-wise stages into the Grams/scans; pipeline
+parallelism comes from async dispatch + donated buffers, not threads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doa_tpu.configs import AvgMethod, DoaConfig, Estimator
+from doa_tpu.ops import covariance as cov_ops
+from doa_tpu.ops import steering as steer_ops
+from doa_tpu.ops.capon import capon_spectrum
+from doa_tpu.ops.music import music_spectrum
+from doa_tpu.ops.peaks import find_local_max
+from doa_tpu.ops.root_music import root_music
+
+
+@dataclasses.dataclass
+class DoaResult:
+    """Per-window outputs of one pipeline invocation (host-side view)."""
+
+    spectra: Dict[str, jax.Array]        # estimator → f32[B, G]
+    peak_values: Dict[str, jax.Array]    # estimator → f32[B, num_max_vals]
+    peak_angles: Dict[str, jax.Array]    # estimator → f32[B, num_max_vals] deg
+    root_music_angles: Optional[jax.Array] = None  # f32[B, K] deg
+    covariance: Optional[jax.Array] = None         # c64[B, N', N']
+
+
+def _steering_matrix(cfg: DoaConfig):
+    """Precomputed scan steering matrix A: (G, N_eff) + (x_min, x_max)."""
+    if cfg.geometry.kind == "ula":
+        A = steer_ops.ula_grid(
+            cfg.geometry, cfg.grid, num_elements=cfg.effective_num_elements
+        )
+        return A, (cfg.grid.lo_deg, cfg.grid.hi_deg)
+    assert cfg.grid2d is not None, "ura geometry requires grid2d"
+    A = steer_ops.ura_grid(cfg.geometry, cfg.grid2d)
+    # 2-D grids flatten az-major: bin → az index * num_el + el index.
+    return A, (0.0, float(A.shape[0] - 1))
+
+
+def compute_covariances(x, cfg: DoaConfig):
+    """x: c64[T, N] → R: c64[B, N_eff, N_eff] per config windowing."""
+    fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
+    R = cov_ops.cov_from_stream(x, cfg.snapshot_size, cfg.overlap,
+                                fb_average=fb)
+    if cfg.smoothing.enabled:
+        R = cov_ops.spatial_smooth(R, cfg.smoothing.subarray_size)
+    return R
+
+
+def _spectra_and_peaks(R, A, cfg: DoaConfig, x_rng, refine: bool):
+    spectra, pvals, pangs = {}, {}, {}
+    for est in cfg.estimators:
+        if est == Estimator.MUSIC:
+            P = music_spectrum(R, A, cfg.num_sources)
+        elif est == Estimator.CAPON:
+            P = capon_spectrum(R, A, diag_load=cfg.capon_diag_load)
+        elif est == Estimator.ROOT_MUSIC:
+            continue  # grid-free; handled separately
+        else:  # pragma: no cover
+            raise ValueError(est)
+        v, l = find_local_max(P, cfg.num_max_vals, x_rng[0], x_rng[1],
+                              refine=refine)
+        spectra[est.value] = P
+        pvals[est.value] = v
+        pangs[est.value] = l
+    return spectra, pvals, pangs
+
+
+def build_pipeline(cfg: DoaConfig, refine_peaks: bool = True,
+                   return_covariance: bool = False):
+    """→ jitted fn: (x: c64[T, N], correction: c64[N] | None) → DoaResult.
+
+    `correction` is the per-channel complex calibration vector (reference
+    antenna_correction × phase_correct_hier composed — calibration is data
+    here, SURVEY §7.1); pass ones to disable.
+    """
+    A_host, x_rng = _steering_matrix(cfg)
+    want_root = Estimator.ROOT_MUSIC in cfg.estimators
+
+    @jax.jit
+    def run(x, correction, A):
+        x = x * correction[None, :]
+        R = compute_covariances(x, cfg)
+        spectra, pvals, pangs = _spectra_and_peaks(
+            R, A, cfg, x_rng, refine_peaks)
+        root_angles = None
+        if want_root:
+            root_angles = root_music(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
+        return dict(
+            spectra=spectra, peak_values=pvals, peak_angles=pangs,
+            root_music_angles=root_angles,
+            covariance=R if return_covariance else None,
+        )
+
+    A_dev = jax.device_put(A_host)  # resident scan matrix, reused per call
+
+    def call(x, correction=None) -> DoaResult:
+        x = jnp.asarray(x)
+        if correction is None:
+            correction = jnp.ones((x.shape[1],), dtype=x.dtype)
+        out = run(x, jnp.asarray(correction), A_dev)
+        return DoaResult(**out)
+
+    call.jitted = run
+    call.steering_matrix = A_dev
+    call.config = cfg
+    return call
+
+
+def estimate_doa(x, cfg: DoaConfig, correction=None,
+                 refine_peaks: bool = True) -> DoaResult:
+    """One-shot convenience: build + run the pipeline for x: (T, N)."""
+    return build_pipeline(cfg, refine_peaks=refine_peaks)(x, correction)

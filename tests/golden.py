@@ -1,0 +1,296 @@
+"""Golden NumPy reference implementations of the DoA math.
+
+These play the role of the reference repo's offline-generated golden vectors
+(SURVEY.md §4: upstream qa_*.py tests compare against hardcoded arrays
+generated MATLAB-style). Every doa_tpu op must match these to tolerance.
+All conventions (steering-vector sign, normalization, FB averaging, root
+selection) are pinned HERE; doa_tpu implements the same math TPU-natively.
+
+Conventions (documented in doa_tpu.ops.steering as well):
+  * ULA with element positions p_k = k * d (k = 0..N-1), d = norm_spacing
+    in wavelengths; theta measured from the array axis (endfire),
+    theta ∈ [0°, 180°], broadside = 90°.
+  * a(theta)_k = exp(-1j * 2*pi * d * k * cos(theta))
+  * R = E[x x^H]: R_ij = (1/S) Σ_s x_si conj(x_sj)  for X: (S, N)
+    (standard array-processing covariance; the signal subspace then
+    contains a(theta) itself, not its conjugate).
+  * Forward-backward: R_fb = (R + J conj(R) J) / 2, J = exchange matrix.
+  * MUSIC: P(theta) = 1 / || E_n^H a(theta) ||^2, max-normalized.
+  * Capon: P(theta) = 1 / Re(a^H R^-1 a), max-normalized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Steering
+# ---------------------------------------------------------------------------
+
+def ula_steering(theta_deg, num_elements: int, norm_spacing: float):
+    """a(theta): (..., N) complex128 steering vectors for a ULA."""
+    theta = np.deg2rad(np.asarray(theta_deg, dtype=np.float64))
+    k = np.arange(num_elements)
+    phase = -2.0 * np.pi * norm_spacing * np.cos(theta)[..., None] * k
+    return np.exp(1j * phase)
+
+
+def ura_steering(az_deg, el_deg, shape, norm_spacing: float):
+    """Planar (URA) steering for direction (az, el).
+
+    Elements on a (nx, ny) grid in the x-y plane at positions
+    (ix*d, iy*d). Unit direction vector u = (cos el * sin az,
+    cos el * cos az, sin el); phase = -2π d (ix*u_x + iy*u_y).
+    Returns (..., nx*ny) complex128 (x-major flattening).
+    """
+    az = np.deg2rad(np.asarray(az_deg, dtype=np.float64))
+    el = np.deg2rad(np.asarray(el_deg, dtype=np.float64))
+    ux = np.cos(el) * np.sin(az)
+    uy = np.cos(el) * np.cos(az)
+    nx, ny = shape
+    ix = np.arange(nx)[:, None]  # (nx, 1)
+    iy = np.arange(ny)[None, :]  # (1, ny)
+    phase = -2.0 * np.pi * norm_spacing * (
+        ux[..., None, None] * ix + uy[..., None, None] * iy
+    )
+    return np.exp(1j * phase).reshape(*np.shape(az), nx * ny)
+
+
+# ---------------------------------------------------------------------------
+# Covariance
+# ---------------------------------------------------------------------------
+
+def frame_samples(x, snapshot_size: int, overlap: int):
+    """x: (T, N) → frames (B, S, N) with hop = S - overlap.
+
+    Matches reference autocorrelate's sliding-window semantics: window b
+    covers samples [b*hop, b*hop + S). Trailing samples that don't fill a
+    window are dropped.
+    """
+    x = np.asarray(x)
+    S = snapshot_size
+    hop = S - overlap
+    T = x.shape[0]
+    B = 0 if T < S else (T - S) // hop + 1
+    return np.stack([x[b * hop : b * hop + S] for b in range(B)], axis=0)
+
+
+def sample_covariance(frames, fb_average: bool = False):
+    """frames: (B, S, N) → R: (B, N, N), R_ij = (1/S) Σ_s x_si conj(x_sj).
+
+    fb_average applies forward-backward averaging
+    (reference autocorrelate avg_method=1).
+    """
+    frames = np.asarray(frames)
+    S = frames.shape[1]
+    R = np.einsum("bsi,bsj->bij", frames, frames.conj()) / S
+    if fb_average:
+        R = forward_backward(R)
+    return R
+
+
+def forward_backward(R):
+    """R_fb = (R + J conj(R) J) / 2 with J the exchange (flip) matrix."""
+    Rb = np.conj(R[..., ::-1, ::-1])
+    return 0.5 * (R + Rb)
+
+
+def spatial_smooth(R, subarray_size: int):
+    """Forward spatial smoothing: average the (N-L+1) L×L principal
+    submatrices along the diagonal of R. R: (..., N, N) → (..., L, L)."""
+    N = R.shape[-1]
+    L = subarray_size
+    M = N - L + 1
+    out = np.zeros(R.shape[:-2] + (L, L), dtype=R.dtype)
+    for m in range(M):
+        out += R[..., m : m + L, m : m + L]
+    return out / M
+
+
+# ---------------------------------------------------------------------------
+# Subspace + spectra
+# ---------------------------------------------------------------------------
+
+def noise_subspace(R, num_sources: int):
+    """Hermitian eig → noise subspace E_n: (..., N, N-K) for the N-K
+    smallest eigenvalues (ascending order, numpy.linalg.eigh convention)."""
+    w, v = np.linalg.eigh(R)
+    N = R.shape[-1]
+    return v[..., :, : N - num_sources]
+
+
+def music_spectrum(R, steering_mat, num_sources: int, normalize: bool = True):
+    """MUSIC pseudospectrum.
+
+    R: (B, N, N); steering_mat: (G, N) → P: (B, G) float64.
+    P = 1 / ||E_n^H a||²; per-snapshot max-normalized when normalize=True
+    (reference MUSIC_lin_array normalizes the output to its maximum).
+    """
+    En = noise_subspace(R, num_sources)           # (B, N, M)
+    proj = np.einsum("bnm,gn->bgm", En.conj(), steering_mat)  # E_n^H a
+    den = np.sum(np.abs(proj) ** 2, axis=-1)
+    P = 1.0 / den
+    if normalize:
+        P = P / P.max(axis=-1, keepdims=True)
+    return P
+
+
+def capon_spectrum(R, steering_mat, diag_load: float = 0.0, normalize: bool = True):
+    """Capon-MVDR: P = 1 / (a^H R⁻¹ a), optional diagonal loading of
+    diag_load * tr(R)/N."""
+    N = R.shape[-1]
+    if diag_load > 0:
+        tr = np.trace(R, axis1=-2, axis2=-1).real / N
+        R = R + (diag_load * tr)[..., None, None] * np.eye(N)
+    Rinv = np.linalg.inv(R)
+    den = np.einsum("gn,bnm,gm->bg", steering_mat.conj(), Rinv, steering_mat).real
+    P = 1.0 / den
+    if normalize:
+        P = P / P.max(axis=-1, keepdims=True)
+    return P
+
+
+def root_music(R, num_sources: int, norm_spacing: float):
+    """Root-MUSIC for a ULA. R: (B, N, N) → theta: (B, K) degrees, sorted.
+
+    C = E_n E_n^H; c_l = sum of l-th diagonal of C; roots of
+    sum_l c_l z^{l+N-1}; keep roots strictly inside the unit circle closest
+    to it; with a_k = z^k and z = exp(-j 2π d cosθ) on the signal circle,
+    theta = acos(-arg(z) / (2π d)).
+    """
+    R = np.asarray(R)
+    B, N, _ = R.shape
+    K = num_sources
+    out = np.zeros((B, K), dtype=np.float64)
+    for b in range(B):
+        En = noise_subspace(R[b], K)
+        C = En @ En.conj().T
+        # coeffs[l + N - 1] = sum of l-th diagonal, l = -(N-1)..(N-1)
+        coeffs = np.array(
+            [np.trace(C, offset=l) for l in range(-(N - 1), N)]
+        )
+        # numpy.roots wants highest degree first: poly sum c_l z^{l+N-1}
+        roots = np.roots(coeffs[::-1])
+        inside = roots[np.abs(roots) < 1.0]
+        order = np.argsort(np.abs(np.abs(inside) - 1.0))
+        sel = inside[order[:K]]
+        cos_theta = np.clip(-np.angle(sel) / (2 * np.pi * norm_spacing), -1, 1)
+        out[b] = np.sort(np.rad2deg(np.arccos(cos_theta)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Peaks
+# ---------------------------------------------------------------------------
+
+def find_local_max(P, num_max_vals: int, x_min: float, x_max: float):
+    """Reference find_local_max: interior local maxima of each row of
+    P: (B, G), top num_max_vals by value. Returns (values, locations) each
+    (B, num_max_vals); locations linearly map bin→[x_min, x_max].
+    Rows with fewer maxima pad with the global max (value) / its location."""
+    P = np.asarray(P)
+    B, G = P.shape
+    vals = np.zeros((B, num_max_vals))
+    locs = np.zeros((B, num_max_vals))
+    x = x_min + np.arange(G) * (x_max - x_min) / (G - 1)
+    for b in range(B):
+        p = P[b]
+        is_max = np.zeros(G, dtype=bool)
+        is_max[1:-1] = (p[1:-1] > p[:-2]) & (p[1:-1] >= p[2:])
+        idx = np.nonzero(is_max)[0]
+        if len(idx) == 0:
+            idx = np.array([int(np.argmax(p))])
+        order = np.argsort(p[idx])[::-1]
+        idx = idx[order]
+        take = min(num_max_vals, len(idx))
+        vals[b, :take] = p[idx[:take]]
+        locs[b, :take] = x[idx[:take]]
+        if take < num_max_vals:  # pad with best peak
+            vals[b, take:] = vals[b, 0]
+            locs[b, take:] = locs[b, 0]
+    return vals, locs
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+def element_calibration(R, pilot_theta_deg: float, norm_spacing: float):
+    """Reference calibrate_lin_array: principal eigenvector v1 of R (pilot at
+    a known angle) vs ideal steering a(pilot): correction c_k = a_k / v1_k,
+    normalized so element 0 has correction 1. R: (..., N, N) → c: (..., N)."""
+    w, v = np.linalg.eigh(R)
+    v1 = v[..., :, -1]  # principal eigenvector (largest eigenvalue)
+    N = R.shape[-1]
+    a = ula_steering(pilot_theta_deg, N, norm_spacing)
+    c = a / v1
+    return c / c[..., :1]
+
+
+def phase_offset_est(x, ref_channel: int = 0):
+    """Reference stage-1 calibration: per-channel phase offset vs channel 0
+    while all channels receive a common tone. x: (T, N) → phi: (N,) radians.
+    phi_k = arg(mean(x_k * conj(x_0)))."""
+    x = np.asarray(x)
+    ref = x[:, ref_channel : ref_channel + 1]
+    return np.angle(np.mean(x * np.conj(ref), axis=0))
+
+
+def apply_phase_correction(x, phi):
+    """Multiply channel k by exp(-1j*phi_k) (reference phase_correct_hier)."""
+    return x * np.exp(-1j * np.asarray(phi))
+
+
+def apply_antenna_correction(x, c):
+    """Multiply channel k by correction c_k (reference antenna_correction)."""
+    return x * np.asarray(c)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic signal model (reference simulation flowgraph, SURVEY §3.2)
+# ---------------------------------------------------------------------------
+
+def synthetic_ula_iq(
+    theta_deg,
+    num_elements: int,
+    norm_spacing: float,
+    num_samples: int,
+    snr_db: float = 10.0,
+    freqs_norm=None,
+    seed: int = 0,
+    correlated_pairs=(),
+    amplitudes=None,
+):
+    """Synthesize coherent N-channel IQ: sum of complex tones arriving from
+    theta_deg (list of K angles) + AWGN. Returns (T, N) complex64.
+
+    Each source k is a unit-amplitude complex exponential at normalized
+    frequency freqs_norm[k] (default: spread in (0.05, 0.45)), multiplied by
+    the steering vector. snr_db is per-source per-channel SNR.
+    `correlated_pairs`: list of (i, j) source index pairs forced fully
+    coherent (same waveform) — for the spatial-smoothing config.
+    """
+    rng = np.random.default_rng(seed)
+    theta = np.atleast_1d(np.asarray(theta_deg, dtype=np.float64))
+    K = len(theta)
+    if freqs_norm is None:
+        freqs_norm = 0.05 + 0.4 * np.arange(K) / max(K - 1, 1)
+    freqs_norm = np.atleast_1d(np.asarray(freqs_norm, dtype=np.float64))
+    if amplitudes is None:
+        amplitudes = np.ones(K)
+    t = np.arange(num_samples)
+    phases = rng.uniform(0, 2 * np.pi, size=K)
+    wave = np.exp(1j * (2 * np.pi * freqs_norm[None, :] * t[:, None]
+                        + phases[None, :]))  # (T, K)
+    for (i, j) in correlated_pairs:
+        wave[:, j] = wave[:, i]
+    wave = wave * np.asarray(amplitudes)[None, :]
+    A = ula_steering(theta, num_elements, norm_spacing)  # (K, N)
+    clean = wave @ A  # (T, N)
+    noise_power = 10.0 ** (-snr_db / 10.0)
+    noise = rng.standard_normal((num_samples, num_elements)) + 1j * rng.standard_normal(
+        (num_samples, num_elements)
+    )
+    noise *= np.sqrt(noise_power / 2.0)
+    return (clean + noise).astype(np.complex64)
