@@ -1,0 +1,137 @@
+"""Host streaming driver — the TPU-native replacement for the GNU Radio
+thread-per-block runtime (SURVEY §7.1 "thin host streaming driver").
+
+A producer (file reader, socket, SDR bridge) pushes fixed-size sample
+blocks into a bounded ring; the driver thread frames them with correct
+overlap carry-over (reference autocorrelate history semantics), dispatches
+the jit-compiled pipeline asynchronously (JAX dispatch returns before the
+TPU finishes — consecutive blocks overlap host framing with device
+compute, which is GNU Radio's pipeline parallelism without threads-per-
+block), and emits results on an output queue.
+
+Failure detection (SURVEY §5): a full ring drops whole blocks and counts
+them — the analog of UHD overflow 'O' indications — exposed in
+`StreamStats`; processing never stalls the producer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class StreamStats:
+    blocks_in: int = 0
+    blocks_dropped: int = 0
+    blocks_processed: int = 0
+    samples_processed: int = 0
+    windows_emitted: int = 0
+
+    @property
+    def drop_fraction(self) -> float:
+        return self.blocks_dropped / max(self.blocks_in, 1)
+
+
+class StreamingDriver:
+    """Feed blocks of (block_samples, N) complex64; receive per-block
+    pipeline results on `results` (a Queue of (block_index, DoaResult)).
+
+    block_samples must be a multiple of the config hop. The driver re-serves
+    the trailing `overlap` samples of each block in front of the next one,
+    so the window sequence is identical to offline processing of the
+    concatenated stream.
+    """
+
+    def __init__(self, pipeline, block_samples: int, *,
+                 ring_capacity: int = 8, correction=None):
+        cfg = pipeline.config
+        if block_samples % cfg.hop:
+            raise ValueError("block_samples must be a multiple of hop")
+        self._pipe = pipeline
+        self._cfg = cfg
+        self._block = block_samples
+        self._corr = correction
+        self._ring: queue.Queue = queue.Queue(maxsize=ring_capacity)
+        self.results: queue.Queue = queue.Queue()
+        self.stats = StreamStats()
+        self._tail: Optional[np.ndarray] = None  # last `overlap` samples
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+
+    # -- producer side -------------------------------------------------
+    def push(self, block: np.ndarray) -> bool:
+        """Producer call. Non-blocking: returns False (and counts a drop)
+        if the ring is full — backpressure by dropping, like an SDR."""
+        self.stats.blocks_in += 1
+        try:
+            self._ring.put_nowait(np.asarray(block))
+            return True
+        except queue.Full:
+            self.stats.blocks_dropped += 1
+            return False
+
+    def start(self):
+        self._started = True
+        self._thread.start()
+        return self
+
+    def stop(self, wait: bool = True):
+        self._stop.set()
+        if wait and self._started:
+            self._thread.join()
+
+    # -- consumer thread -----------------------------------------------
+    def _run(self):
+        overlap = self._cfg.overlap
+        while not (self._stop.is_set() and self._ring.empty()):
+            try:
+                block = self._ring.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if self._tail is not None and overlap > 0:
+                x = np.concatenate([self._tail, block], axis=0)
+            else:
+                x = block
+            if overlap > 0:
+                self._tail = block[-overlap:]
+            res = self._pipe(x, self._corr)
+            idx = self.stats.blocks_processed
+            self.stats.blocks_processed += 1
+            self.stats.samples_processed += block.shape[0]
+            first = next(iter(res.peak_angles.values()), None)
+            if first is not None:
+                self.stats.windows_emitted += int(first.shape[0])
+            self.results.put((idx, res))
+
+    # -- convenience ----------------------------------------------------
+    def run_iter(self, blocks: Iterable[np.ndarray]):
+        """Synchronous helper: process an iterable of blocks, yielding
+        (index, result) in order. Bypasses the ring (no drops)."""
+        overlap = self._cfg.overlap
+        for i, block in enumerate(blocks):
+            if self._tail is not None and overlap > 0:
+                x = np.concatenate([self._tail, block], axis=0)
+            else:
+                x = block
+            if overlap > 0:
+                self._tail = np.asarray(block)[-overlap:]
+            self.stats.blocks_in += 1
+            self.stats.blocks_processed += 1
+            self.stats.samples_processed += np.asarray(block).shape[0]
+            yield i, self._pipe(x, self._corr)
+
+
+def iterate_file_blocks(path: str, block_samples: int, num_channels=None):
+    """Yield (block_samples, N) blocks from a recorded IQ file."""
+    from doa_tpu.io.recorded import load_iq
+
+    x = load_iq(path, num_channels)
+    T = (x.shape[0] // block_samples) * block_samples
+    for i in range(0, T, block_samples):
+        yield x[i : i + block_samples]

@@ -1,0 +1,183 @@
+"""Real-valued (split re/im) implementations of the core DoA ops.
+
+This is the TPU compute path: everything below runs with NO complex dtype
+anywhere — required for Pallas TPU kernels and for complex-free backends,
+and faster on the MXU (Gauss 3-matmul complex products, §doa_tpu.cpx).
+Parity is tested against the jnp-complex reference ops.
+
+Math notes:
+  * covariance planes: R = Σ_s x_s x_s^H →
+        Rr = Xr^T Xr + Xi^T Xi   (symmetric)
+        Ri = Xi^T Xr − Xr^T Xi   (antisymmetric)
+  * noise projector via real embedding: eigh of E(R) (2N×2N symmetric);
+    the span of the 2(N−K) smallest-eigenvalue eigenvectors is closed
+    under the complex structure J = [[0,−I],[I,0]], so V·V^T is E(M) of
+    the complex noise projector M — no eigenvector pair-matching needed.
+  * MUSIC denominator: Re(a^H M a) = arᵀMr ar + aiᵀMr ai + 2·aiᵀMi ar.
+  * Capon: Re(a^H R⁻¹ a) = ãᵀ E(R)⁻¹ ã with ã = [ar; ai] — one real
+    Cholesky of the 2N embedding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from doa_tpu.cpx import (
+    Cpx, embed_hermitian, embed_vector, unembed_hermitian)
+
+
+# ---------------------------------------------------------------------
+# Covariance (reference autocorrelate, real planes)
+# ---------------------------------------------------------------------
+
+def sample_covariance_cpx(frames: Cpx, fb_average: bool = False) -> Cpx:
+    """frames: Cpx[B, S, N] → R: Cpx[B, N, N] = (1/S)Σ x x^H."""
+    S = frames.shape[-2]
+    Xr, Xi = frames.re, frames.im
+    mm = lambda a, b: jnp.einsum(  # noqa: E731
+        "bsi,bsj->bij", a, b, preferred_element_type=jnp.float32)
+    Rr = (mm(Xr, Xr) + mm(Xi, Xi)) / S
+    Ri = (mm(Xi, Xr) - mm(Xr, Xi)) / S
+    R = Cpx(Rr, Ri)
+    if fb_average:
+        R = forward_backward_cpx(R)
+    return R
+
+
+def chunk_grams_cpx(x: Cpx, hop: int) -> Cpx:
+    """x: Cpx[T, N] → per-hop-chunk Grams Cpx[T//hop, N, N] (unnormalized):
+    the associative partial sums that sliding windows / psum combine."""
+    T, N = x.shape
+    n = T // hop
+    Xr = x.re[: n * hop].reshape(n, hop, N)
+    Xi = x.im[: n * hop].reshape(n, hop, N)
+    mm = lambda a, b: jnp.einsum(  # noqa: E731
+        "csi,csj->cij", a, b, preferred_element_type=jnp.float32)
+    return Cpx(mm(Xr, Xr) + mm(Xi, Xi), mm(Xi, Xr) - mm(Xr, Xi))
+
+
+def cov_from_stream_cpx(x: Cpx, snapshot_size: int, overlap: int,
+                        fb_average: bool = False) -> Cpx:
+    """x: Cpx[T, N] → R: Cpx[B, N, N]; zero-copy overlap via sliding sums
+    of chunk Grams (hop must divide snapshot_size when overlap > 0)."""
+    S = snapshot_size
+    hop = S - overlap
+    T, N = x.shape
+    if S % hop != 0:
+        raise ValueError("hop must divide snapshot_size on the cpx path")
+    C = chunk_grams_cpx(x, hop)
+    n_win = S // hop
+    B = 0 if T < S else (T - S) // hop + 1
+
+    def win(plane):
+        csum = jnp.concatenate(
+            [jnp.zeros((1, N, N), plane.dtype), jnp.cumsum(plane, axis=0)],
+            axis=0)
+        return (csum[n_win : n_win + B] - csum[:B]) / S
+
+    R = Cpx(win(C.re), win(C.im))
+    if fb_average:
+        R = forward_backward_cpx(R)
+    return R
+
+
+def forward_backward_cpx(R: Cpx) -> Cpx:
+    """R_fb = ½(R + J conj(R) J): flip both axes, negate imag."""
+    return Cpx(0.5 * (R.re + R.re[..., ::-1, ::-1]),
+               0.5 * (R.im - R.im[..., ::-1, ::-1]))
+
+
+def spatial_smooth_cpx(R: Cpx, subarray_size: int) -> Cpx:
+    N = R.shape[-1]
+    L = subarray_size
+    M = N - L + 1
+    rr, ri = R.re[..., 0:L, 0:L], R.im[..., 0:L, 0:L]
+    for m in range(1, M):
+        rr = rr + R.re[..., m : m + L, m : m + L]
+        ri = ri + R.im[..., m : m + L, m : m + L]
+    return Cpx(rr / M, ri / M)
+
+
+# ---------------------------------------------------------------------
+# Subspace via real embedding
+# ---------------------------------------------------------------------
+
+def noise_projector_cpx(R: Cpx, num_sources: int) -> Cpx:
+    """R: Cpx[B, N, N] → noise projector M = E_n E_n^H as Cpx[B, N, N].
+
+    eigh on the real 2N embedding; eigenvalues come in duplicated pairs
+    (ascending), so the 2(N−K) smallest real eigenvectors span exactly the
+    embedded noise subspace."""
+    N = R.shape[-1]
+    K = num_sources
+    E = embed_hermitian(R)                       # (B, 2N, 2N) symmetric
+    _, V = jnp.linalg.eigh(E)
+    Vn = V[..., :, : 2 * (N - K)]                # (B, 2N, 2(N-K))
+    P = jnp.einsum("bnm,bkm->bnk", Vn, Vn,
+                   preferred_element_type=jnp.float32)
+    return unembed_hermitian(P)
+
+
+def principal_eigvec_cpx(R: Cpx) -> Cpx:
+    """Principal eigenvector (largest eigenvalue) as Cpx[B, N].
+
+    The top real-embedded eigenvector [u; v] maps to u + j·v (any J-rotation
+    of it is an equivalent complex phase — the same ambiguity eigh has)."""
+    E = embed_hermitian(R)
+    _, V = jnp.linalg.eigh(E)
+    top = V[..., :, -1]                          # (B, 2N)
+    N = R.shape[-1]
+    return Cpx(top[..., :N], top[..., N:])
+
+
+# ---------------------------------------------------------------------
+# Spectrum scans
+# ---------------------------------------------------------------------
+
+def music_denominator_cpx(M: Cpx, A: Cpx):
+    """den[b,g] = Re(a_g^H M_b a_g) = arᵀMr ar + aiᵀMr ai + 2·aiᵀMi ar.
+
+    Shapes: M (B, N, N), A (G, N) → (B, G). Three (G,N)·(N,N) MXU matmuls
+    per snapshot — the exact shape the Pallas scan kernel implements."""
+    Ar, Ai = A.re, A.im
+    es = lambda a, m: jnp.einsum(  # noqa: E731
+        "gn,bnm->bgm", a, m, preferred_element_type=jnp.float32)
+    t1 = es(Ar, M.re)
+    t2 = es(Ai, M.re)
+    t3 = es(Ai, M.im)
+    return (jnp.sum(t1 * Ar[None], -1) + jnp.sum(t2 * Ai[None], -1)
+            + 2.0 * jnp.sum(t3 * Ar[None], -1))
+
+
+def music_spectrum_cpx(R: Cpx, A: Cpx, num_sources: int,
+                       normalize: bool = True):
+    """Real-path MUSIC pseudospectrum: (B, G) f32."""
+    M = noise_projector_cpx(R, num_sources)
+    den = music_denominator_cpx(M, A)
+    P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+    if normalize:
+        P = P / jnp.max(P, axis=-1, keepdims=True)
+    return P
+
+
+def capon_spectrum_cpx(R: Cpx, A: Cpx, diag_load: float = 1e-4,
+                       normalize: bool = True):
+    """Real-path Capon-MVDR: Cholesky of the 2N real embedding,
+    den = ‖L⁻¹ ã‖²."""
+    N = R.shape[-1]
+    if diag_load > 0:
+        tr = jnp.trace(R.re, axis1=-2, axis2=-1) / N
+        eye = jnp.eye(N, dtype=R.re.dtype)
+        R = Cpx(R.re + (diag_load * tr)[..., None, None] * eye, R.im)
+    E = embed_hermitian(R)                        # (B, 2N, 2N) SPD
+    L = jax.lax.linalg.cholesky(E)
+    At = embed_vector(A).T                        # (2N, G)
+    Atb = jnp.broadcast_to(At, E.shape[:-2] + At.shape)
+    X = jax.lax.linalg.triangular_solve(
+        L, Atb, left_side=True, lower=True)
+    den = jnp.sum(X * X, axis=-2)
+    P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+    if normalize:
+        P = P / jnp.max(P, axis=-1, keepdims=True)
+    return P

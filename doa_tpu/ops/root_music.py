@@ -101,3 +101,84 @@ def root_music(R, num_sources: int, norm_spacing: float,
     )
     theta = jnp.rad2deg(jnp.arccos(cos_theta))
     return jnp.sort(theta, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# Split-complex (Cpx) variant — the complex-free TPU path. Same math,
+# Aberth-Ehrlich carried on (re, im) planes.
+# ---------------------------------------------------------------------
+
+def _poly_and_deriv_cpx(coeffs, z):
+    """coeffs: Cpx(..., D+1) ascending; z: Cpx(..., R) → (p, dp)."""
+    from doa_tpu.cpx import Cpx
+
+    D = coeffs.shape[-1] - 1
+    p = Cpx(jnp.broadcast_to(coeffs.re[..., D : D + 1], z.shape),
+            jnp.broadcast_to(coeffs.im[..., D : D + 1], z.shape))
+    dp = Cpx(jnp.zeros_like(z.re), jnp.zeros_like(z.im))
+    for m in range(D - 1, -1, -1):
+        dp = dp * z + p
+        p = p * z + coeffs[..., m : m + 1]
+    return p, dp
+
+
+def polynomial_roots_cpx(coeffs, num_iters: int = 60):
+    """Batched Aberth-Ehrlich on split-complex planes.
+    coeffs: Cpx(B, D+1) → roots Cpx(B, D)."""
+    from doa_tpu.cpx import Cpx
+
+    D = coeffs.shape[-1] - 1
+    lead = coeffs[..., -1:]
+    coeffs = coeffs / lead
+    B = coeffs.shape[:-1]
+    k = jnp.arange(D, dtype=jnp.float32)
+    radius = 0.92 + 0.05 * (k % 3)
+    ang = 2 * jnp.pi * (k + 0.25) / D + 0.1
+    z0 = Cpx(jnp.broadcast_to(radius * jnp.cos(ang), B + (D,)),
+             jnp.broadcast_to(radius * jnp.sin(ang), B + (D,)))
+
+    def body(_, z):
+        p, dp = _poly_and_deriv_cpx(coeffs, z)
+        dp_ok = dp.abs2() > 0
+        dp = Cpx(jnp.where(dp_ok, dp.re, 1.0), jnp.where(dp_ok, dp.im, 0.0))
+        w = p / dp
+        dr = z.re[..., :, None] - z.re[..., None, :]
+        di = z.im[..., :, None] - z.im[..., None, :]
+        eye = jnp.eye(D, dtype=bool)
+        d2 = dr * dr + di * di
+        d2 = jnp.where(eye, 1.0, d2)
+        inv = Cpx(jnp.where(eye, 0.0, dr / d2), jnp.where(eye, 0.0, -di / d2))
+        s = Cpx(jnp.sum(inv.re, axis=-1), jnp.sum(inv.im, axis=-1))
+        ws = w * s
+        denom = Cpx(1.0 - ws.re, -ws.im)
+        ok = denom.abs2() > 0
+        denom = Cpx(jnp.where(ok, denom.re, 1.0), jnp.where(ok, denom.im, 0.0))
+        step = w / denom
+        return z - step
+
+    return jax.lax.fori_loop(0, num_iters, body, z0)
+
+
+def root_music_cpx(R, num_sources: int, norm_spacing: float,
+                   num_iters: int = 60):
+    """Cpx[B, N, N] covariance → DoA (B, K) degrees ascending — complex-free."""
+    from doa_tpu.cpx import Cpx
+    from doa_tpu.ops.cpx_ops import noise_projector_cpx
+
+    N = R.shape[-1]
+    M = noise_projector_cpx(R, num_sources)
+    cols_r = [jnp.trace(M.re, offset=l, axis1=-2, axis2=-1)
+              for l in range(-(N - 1), N)]
+    cols_i = [jnp.trace(M.im, offset=l, axis1=-2, axis2=-1)
+              for l in range(-(N - 1), N)]
+    coeffs = Cpx(jnp.stack(cols_r, -1), jnp.stack(cols_i, -1))
+    roots = polynomial_roots_cpx(coeffs, num_iters=num_iters)
+    mag = jnp.sqrt(roots.abs2())
+    score = jnp.where(mag < 1.0, 1.0 - mag, jnp.inf)
+    _, idx = jax.lax.top_k(-score, num_sources)
+    sel = Cpx(jnp.take_along_axis(roots.re, idx, axis=-1),
+              jnp.take_along_axis(roots.im, idx, axis=-1))
+    cos_theta = jnp.clip(
+        -sel.angle() / (2 * jnp.pi * norm_spacing), -1.0, 1.0)
+    theta = jnp.rad2deg(jnp.arccos(cos_theta))
+    return jnp.sort(theta, axis=-1)

@@ -1,0 +1,107 @@
+"""TPU pipeline on the split-complex (real-planes) path.
+
+Same structure as doa_tpu.pipeline but with NO complex dtype anywhere in
+the compiled program: inputs are (re, im) f32 planes, all ops come from
+doa_tpu.ops.cpx_ops, eigendecompositions run on real 2N embeddings. This
+is the path deployed on TPU backends (complex-free and MXU-optimal), and
+the integration point for the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doa_tpu.configs import AvgMethod, DoaConfig, Estimator
+from doa_tpu.cpx import Cpx
+from doa_tpu.ops import cpx_ops
+from doa_tpu.ops.peaks import find_local_max
+from doa_tpu.ops.root_music import root_music_cpx
+from doa_tpu.pipeline import DoaResult, _steering_matrix
+
+
+def compute_covariances_cpx(x: Cpx, cfg: DoaConfig) -> Cpx:
+    fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
+    R = cpx_ops.cov_from_stream_cpx(x, cfg.snapshot_size, cfg.overlap,
+                                    fb_average=fb)
+    if cfg.smoothing.enabled:
+        R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
+    return R
+
+
+def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
+                       return_covariance: bool = False):
+    """→ callable(x: complex (T, N) numpy | Cpx, correction) → DoaResult.
+
+    The jitted core signature is all-real:
+        run(xr, xi, cr, ci, Ar, Ai) → dict of f32 arrays (+ R planes).
+    """
+    A_host, x_rng = _steering_matrix(cfg)
+    A_re = np.ascontiguousarray(A_host.real.astype(np.float32))
+    A_im = np.ascontiguousarray(A_host.imag.astype(np.float32))
+    want_root = Estimator.ROOT_MUSIC in cfg.estimators
+
+    @jax.jit
+    def run(xr, xi, cr, ci, Ar, Ai):
+        x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
+        A = Cpx(Ar, Ai)
+        R = compute_covariances_cpx(x, cfg)
+        spectra, pvals, pangs = {}, {}, {}
+        M = None
+        for est in cfg.estimators:
+            if est == Estimator.MUSIC:
+                if M is None:
+                    M = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
+                den = cpx_ops.music_denominator_cpx(M, A)
+                P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+                P = P / jnp.max(P, axis=-1, keepdims=True)
+            elif est == Estimator.CAPON:
+                P = cpx_ops.capon_spectrum_cpx(
+                    R, A, diag_load=cfg.capon_diag_load)
+            else:
+                continue
+            v, l = find_local_max(P, cfg.num_max_vals, x_rng[0], x_rng[1],
+                                  refine=refine_peaks)
+            spectra[est.value] = P
+            pvals[est.value] = v
+            pangs[est.value] = l
+        root_angles = None
+        if want_root:
+            root_angles = root_music_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
+        return dict(
+            spectra=spectra, peak_values=pvals, peak_angles=pangs,
+            root_music_angles=root_angles,
+            covariance=(R.re, R.im) if return_covariance else None,
+        )
+
+    A_re_d = jax.device_put(A_re)
+    A_im_d = jax.device_put(A_im)
+
+    def call(x, correction=None) -> DoaResult:
+        if isinstance(x, Cpx):
+            xr, xi = x.re, x.im
+        else:
+            x = np.asarray(x)
+            xr = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+            xi = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+        N = xr.shape[1]
+        if correction is None:
+            cr = jnp.ones((N,), jnp.float32)
+            ci = jnp.zeros((N,), jnp.float32)
+        elif isinstance(correction, Cpx):
+            cr, ci = correction.re, correction.im
+        else:
+            c = np.asarray(correction)
+            cr = jnp.asarray(c.real.astype(np.float32))
+            ci = jnp.asarray(c.imag.astype(np.float32))
+        out = run(xr, xi, cr, ci, A_re_d, A_im_d)
+        return DoaResult(**out)
+
+    call.jitted = run
+    call.steering_planes = (A_re_d, A_im_d)
+    call.config = cfg
+    return call

@@ -1,0 +1,67 @@
+"""The complex-free (TPU-path) pipeline must match the complex pipeline."""
+
+import numpy as np
+import pytest
+
+from doa_tpu import PRESETS
+from doa_tpu.configs import DoaConfig, Estimator
+from doa_tpu.io import SourceSpec, synth_ula_iq
+from doa_tpu.pipeline import build_pipeline
+from doa_tpu.pipeline_tpu import build_pipeline_tpu
+import dataclasses
+
+
+def test_tpu_path_matches_complex_path():
+    cfg = PRESETS["c2_ula8_2src"]
+    cfg = dataclasses.replace(
+        cfg, estimators=(Estimator.MUSIC, Estimator.CAPON,
+                         Estimator.ROOT_MUSIC))
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1),
+         SourceSpec(theta_deg=110.0, freq_norm=0.31)],
+        8, 0.5, 8 * 2048, snr_db=10, seed=1)
+    ref = build_pipeline(cfg)(x)
+    tpu = build_pipeline_tpu(cfg)(x)
+    for est in ("music", "capon"):
+        np.testing.assert_allclose(
+            np.asarray(tpu.spectra[est]), np.asarray(ref.spectra[est]),
+            rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(tpu.peak_angles[est]),
+            np.asarray(ref.peak_angles[est]), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(tpu.root_music_angles),
+        np.asarray(ref.root_music_angles), atol=0.05)
+
+
+def test_tpu_path_overlap_and_smoothing():
+    cfg = PRESETS["c3_ula16_calib_smooth"]
+    cfg = dataclasses.replace(cfg, overlap=512)
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=70.0, freq_norm=0.1),
+         SourceSpec(theta_deg=100.0, freq_norm=0.1),
+         SourceSpec(theta_deg=40.0, freq_norm=0.33)],
+        16, 0.5, 16 * 1024, snr_db=15, seed=2,
+        correlated_pairs=[(0, 1)])
+    ref = build_pipeline(cfg)(x)
+    tpu = build_pipeline_tpu(cfg)(x)
+    np.testing.assert_allclose(
+        np.asarray(tpu.peak_angles["music"]),
+        np.asarray(ref.peak_angles["music"]), atol=0.1)
+
+
+def test_tpu_path_correction_vector():
+    cfg = PRESETS["c1_ula4_tone"]
+    rng = np.random.default_rng(7)
+    imp = (1.0 + 0.2 * rng.standard_normal(4)) * np.exp(
+        1j * rng.uniform(-0.5, 0.5, 4))
+    x = synth_ula_iq([SourceSpec(theta_deg=64.0)], 4, 0.5, 32 * 256,
+                     snr_db=15, seed=5,
+                     channel_gains=np.abs(imp),
+                     channel_phases=np.angle(imp))
+    corr = (1.0 / imp).astype(np.complex64)
+    ref = build_pipeline(cfg)(x, correction=corr)
+    tpu = build_pipeline_tpu(cfg)(x, correction=corr)
+    np.testing.assert_allclose(
+        np.asarray(tpu.peak_angles["music"]),
+        np.asarray(ref.peak_angles["music"]), atol=0.05)

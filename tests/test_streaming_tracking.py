@@ -1,0 +1,90 @@
+"""Streaming driver + tracker tests (config 4 capability)."""
+
+import numpy as np
+import queue
+
+from doa_tpu import PRESETS
+from doa_tpu.io import SourceSpec, synth_ula_iq
+from doa_tpu.io.stream import StreamingDriver
+from doa_tpu.pipeline import build_pipeline
+from doa_tpu.tracking import TrackerConfig, track_batch_np
+
+
+def _capture(T):
+    return synth_ula_iq(
+        [SourceSpec(theta_deg=55.0), SourceSpec(theta_deg=125.0,
+                                                freq_norm=0.3)],
+        16, 0.5, T, snr_db=10, seed=3)
+
+
+def test_streaming_matches_offline():
+    cfg = PRESETS["c4_ula16_streaming"]
+    x = _capture(16384)
+    pipe = build_pipeline(cfg)
+    offline = np.asarray(pipe(x).peak_angles["music"])
+
+    drv = StreamingDriver(pipe, block_samples=4096)
+    streamed = []
+    for i, res in drv.run_iter(x[j:j + 4096] for j in range(0, 16384, 4096)):
+        streamed.append(np.asarray(res.peak_angles["music"]))
+    streamed = np.concatenate(streamed, axis=0)
+    # Offline: windows at every hop over the whole capture. Streamed blocks
+    # re-serve `overlap` samples, so together they cover the same windows.
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=0.01)
+    assert drv.stats.blocks_processed == 4
+    assert drv.stats.samples_processed == 16384
+
+
+def test_streaming_threaded_with_drops():
+    cfg = PRESETS["c4_ula16_streaming"]
+    x = _capture(8192)
+    pipe = build_pipeline(cfg)
+    drv = StreamingDriver(pipe, block_samples=1024, ring_capacity=2)
+    drv.start()
+    for j in range(0, 8192, 1024):
+        drv.push(x[j:j + 1024])
+    drv.stop(wait=True)
+    assert drv.stats.blocks_in == 8
+    assert (drv.stats.blocks_processed + drv.stats.blocks_dropped
+            == drv.stats.blocks_in)
+    got = 0
+    while True:
+        try:
+            drv.results.get_nowait()
+            got += 1
+        except queue.Empty:
+            break
+    assert got == drv.stats.blocks_processed
+
+
+def test_tracker_follows_moving_emitters():
+    # Two emitters crossing the array: linear motion + noisy detections.
+    B = 120
+    t = np.arange(B)
+    truth1 = 50.0 + 0.3 * t          # 50 → 86 deg
+    truth2 = 130.0 - 0.25 * t        # 130 → 100 deg
+    rng = np.random.default_rng(0)
+    det = np.stack([truth1 + 0.3 * rng.standard_normal(B),
+                    truth2 + 0.3 * rng.standard_normal(B)], axis=1)
+    # shuffle detection order per window + occasional dropout
+    for b in range(B):
+        if rng.random() < 0.5:
+            det[b] = det[b, ::-1]
+        if rng.random() < 0.05:
+            det[b, rng.integers(2)] = rng.uniform(0, 180)  # clutter
+    vals = np.ones_like(det)
+    tracks = track_batch_np(det.astype(np.float32), vals.astype(np.float32),
+                            TrackerConfig(max_tracks=4))
+    # After confirmation, two tracks should follow the two emitters.
+    tail = tracks[B // 2:]
+    est_per_window = np.sort(tail, axis=1)[:, :]  # NaN sort to end
+    # collect the two active track columns
+    active_cols = ~np.all(np.isnan(tracks[B // 2:]), axis=0)
+    assert active_cols.sum() >= 2
+    act = tail[:, active_cols][:, :2]
+    act = np.sort(act, axis=1)
+    t2 = t[B // 2:]
+    ref = np.sort(np.stack([50.0 + 0.3 * t2, 130.0 - 0.25 * t2], 1), 1)
+    err = np.nanmean(np.abs(act - ref))
+    assert err < 1.0, err
