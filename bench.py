@@ -1,0 +1,81 @@
+"""Benchmark entry point (driver-run on real TPU hardware).
+
+Headline metric (BASELINE.json): Covariance + eigendecomposition + MUSIC
+spectrum-scan snapshots/s per chip on a 16-element ULA, 1024-sample
+snapshots, 1024-angle grid — the full fused pipeline_tpu program (the
+split-complex TPU path), data resident in HBM.
+
+`vs_baseline` is the multiple of REAL-TIME at the north-star operating
+point (10 Msps/channel → 9765.625 snapshots/s): vs_baseline ≥ 10 meets
+the "≥10× real-time on one v5e chip" target.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from doa_tpu.configs import (
+        ArrayGeometry, DoaConfig, Estimator, GridSpec1D)
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    SNAP = 1024
+    N = 16
+    GRID = 1024
+    T = 1 << 20                      # 1,048,576 samples/channel per call
+    B = T // SNAP                    # 1024 snapshots per call
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=N,
+                               norm_spacing=0.5),
+        snapshot_size=SNAP,
+        overlap=0,
+        num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=GRID),
+        num_max_vals=2,
+    )
+    pipe = build_pipeline_tpu(cfg)
+    Ar, Ai = pipe.steering_planes
+
+    # Device-resident synthetic planes (content irrelevant for throughput;
+    # use random so eigh sees generic Hermitian matrices).
+    key = jax.random.key(0)
+    kr, ki = jax.random.split(key)
+    xr = jax.random.normal(kr, (T, N), jnp.float32)
+    xi = jax.random.normal(ki, (T, N), jnp.float32)
+    cr = jnp.ones((N,), jnp.float32)
+    ci = jnp.zeros((N,), jnp.float32)
+
+    def one_call():
+        out = pipe.jitted(xr, xi, cr, ci, Ar, Ai)
+        jax.block_until_ready(out["peak_angles"]["music"])
+
+    one_call()  # compile + warm
+    one_call()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_call()
+    dt = time.perf_counter() - t0
+
+    snaps_per_s = B * iters / dt
+    realtime = 10e6 / SNAP           # snapshots/s to keep up with 10 Msps
+    print(json.dumps({
+        "metric": "cov_eigh_music_snapshots_per_s_per_chip_16el",
+        "value": round(snaps_per_s, 1),
+        "unit": "snapshots/s",
+        "vs_baseline": round(snaps_per_s / realtime, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,9 @@ class WidebandSpec:
 
     num_subbands: int = 1
     center_norm_freq: float = 0.0  # normalized center frequency of the band
+    # samp_rate / carrier_freq: how much the electrical array spacing
+    # stretches across the band (0 → all subbands share one steering grid).
+    fractional_bw: float = 0.0
 
     @property
     def enabled(self) -> bool:
@@ -207,7 +210,7 @@ PRESETS = {
         num_sources=2,
         estimators=(Estimator.MUSIC,),
         grid2d=GridSpec2D(num_az=181, num_el=91),
-        wideband=WidebandSpec(num_subbands=16),
+        wideband=WidebandSpec(num_subbands=16, fractional_bw=0.1),
         num_max_vals=2,
     ),
 }

@@ -100,6 +100,43 @@ def synth_ula_iq(
                                  channel_phases)
 
 
+def synth_wideband_ula_iq(
+    sources: Sequence[SourceSpec],
+    num_elements: int,
+    norm_spacing: float,
+    num_samples: int,
+    fractional_bw: float,
+    snr_db: float = 10.0,
+    seed: int = 0,
+    tones_per_source: int = 12,
+) -> np.ndarray:
+    """Wideband capture where steering genuinely varies across the band.
+
+    Each source's band [freq_norm ± bandwidth_norm/2] is synthesized as
+    `tones_per_source` discrete tones; tone at baseband offset f sees
+    effective spacing norm_spacing·(1 + f·fractional_bw) — the model the
+    subband channelizer (ops.wideband) inverts. Narrowband MUSIC smears
+    these sources; subband fusion should not.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_samples)
+    k = np.arange(num_elements)
+    clean = np.zeros((num_samples, num_elements), dtype=np.complex128)
+    for s in sources:
+        bw = max(s.bandwidth_norm, 1e-6)
+        freqs = s.freq_norm + bw * (
+            np.linspace(-0.5, 0.5, tones_per_source))
+        amp = s.amplitude / np.sqrt(tones_per_source)
+        cos_t = np.cos(np.deg2rad(s.theta_deg))
+        for f in freqs:
+            d_eff = norm_spacing * (1.0 + f * fractional_bw)
+            a = np.exp(-1j * 2 * np.pi * d_eff * cos_t * k)
+            w = amp * np.exp(
+                1j * (2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)))
+            clean += np.outer(w, a)
+    return _add_noise_and_impair(clean, snr_db, rng)
+
+
 def synth_ura_iq(
     sources: Sequence[SourceSpec],
     shape: Tuple[int, int],

@@ -47,22 +47,76 @@ def find_local_max(P, num_max_vals: int, x_min: float, x_max: float,
 
     dx = (x_max - x_min) / (G - 1)
     if refine:
-        im = jnp.clip(idx - 1, 0, G - 1)
-        ip = jnp.clip(idx + 1, 0, G - 1)
-        tiny = jnp.finfo(P.dtype).tiny
-        Q = 1.0 / jnp.maximum(P, tiny)  # null spectrum: quadratic minimum
-        qm = jnp.take_along_axis(Q, im, axis=-1)
-        q0 = jnp.take_along_axis(Q, idx, axis=-1)
-        qp = jnp.take_along_axis(Q, ip, axis=-1)
-        denom = qm - 2.0 * q0 + qp
-        delta = jnp.where(
-            jnp.abs(denom) > 0, 0.5 * (qm - qp) / denom, 0.0
-        )
-        delta = jnp.clip(delta, -0.5, 0.5)
-        # Only refine interior peaks.
-        interior = (idx > 0) & (idx < G - 1)
-        frac = jnp.where(interior, delta, 0.0)
-        locs = x_min + (idx.astype(P.dtype) + frac) * dx
+        locs = x_min + _refine_frac(P, idx, G) * dx
     else:
         locs = x_min + idx.astype(P.dtype) * dx
     return vals, locs
+
+
+def _refine_frac(P, idx, G):
+    """idx + sub-bin offset from reciprocal-space parabolic interpolation
+    along the last axis of P. Returns float (same shape as idx)."""
+    im = jnp.clip(idx - 1, 0, G - 1)
+    ip = jnp.clip(idx + 1, 0, G - 1)
+    tiny = jnp.finfo(P.dtype).tiny
+    Q = 1.0 / jnp.maximum(P, tiny)
+    qm = jnp.take_along_axis(Q, im, axis=-1)
+    q0 = jnp.take_along_axis(Q, idx, axis=-1)
+    qp = jnp.take_along_axis(Q, ip, axis=-1)
+    denom = qm - 2.0 * q0 + qp
+    delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (qm - qp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (idx > 0) & (idx < G - 1)
+    return idx.astype(P.dtype) + jnp.where(interior, delta, 0.0)
+
+
+def find_local_max_2d(P, num_max_vals: int,
+                      az_rng, el_rng, refine: bool = False):
+    """2-D peak extraction for az/el scans (BASELINE config 5).
+
+    P: (B, G_az, G_el) → (values (B, k), az (B, k), el (B, k)).
+    A bin is a peak iff it strictly exceeds its left/up neighbors and is
+    >= its right/down neighbors (4-neighborhood, matching the 1-D rule on
+    each axis). Refinement is separable parabolic in reciprocal space.
+    """
+    B, Ga, Ge = P.shape
+    neg_inf = jnp.array(-jnp.inf, P.dtype)
+    is_max = jnp.zeros_like(P, dtype=bool)
+    core = (
+        (P[:, 1:-1, 1:-1] > P[:, :-2, 1:-1])
+        & (P[:, 1:-1, 1:-1] >= P[:, 2:, 1:-1])
+        & (P[:, 1:-1, 1:-1] > P[:, 1:-1, :-2])
+        & (P[:, 1:-1, 1:-1] >= P[:, 1:-1, 2:])
+    )
+    is_max = is_max.at[:, 1:-1, 1:-1].set(core)
+    flat = jnp.where(is_max, P, neg_inf).reshape(B, Ga * Ge)
+    vals, idx = jax.lax.top_k(flat, num_max_vals)
+
+    gval = jnp.max(P.reshape(B, -1), axis=-1, keepdims=True)
+    gidx = jnp.argmax(P.reshape(B, -1), axis=-1, keepdims=True)
+    have_any = jnp.isfinite(vals[:, 0:1])
+    best_val = jnp.where(have_any, vals[:, 0:1], gval)
+    best_idx = jnp.where(have_any, idx[:, 0:1], gidx)
+    valid = jnp.isfinite(vals)
+    vals = jnp.where(valid, vals, best_val)
+    idx = jnp.where(valid, idx, best_idx)
+
+    ia = idx // Ge
+    ie = idx % Ge
+    da = (az_rng[1] - az_rng[0]) / (Ga - 1)
+    de = (el_rng[1] - el_rng[0]) / (Ge - 1)
+    if refine:
+        # separable: refine az along the column through each peak, el
+        # along the row.
+        def profiles(Pb, ia_b, ie_b):
+            return Pb[:, ie_b].T, Pb[ia_b, :]   # (k, Ga), (k, Ge)
+
+        az_prof, el_prof = jax.vmap(profiles)(P, ia, ie)
+        fa = _refine_frac(az_prof, ia[..., None], Ga)[..., 0]
+        fe = _refine_frac(el_prof, ie[..., None], Ge)[..., 0]
+        az = az_rng[0] + fa * da
+        el = el_rng[0] + fe * de
+    else:
+        az = az_rng[0] + ia.astype(P.dtype) * da
+        el = el_rng[0] + ie.astype(P.dtype) * de
+    return vals, az, el

@@ -41,15 +41,33 @@ class DoaResult:
     covariance: Optional[jax.Array] = None         # c64[B, N', N']
 
 
+def _steering_fn(cfg: DoaConfig):
+    """→ A_fn(norm_spacing) → (G, N_eff) complex64 host steering matrix.
+
+    Currying over spacing supports the wideband per-subband grids
+    (ops.wideband), where electrical spacing stretches with frequency.
+    """
+    import dataclasses as _dc
+
+    if cfg.geometry.kind == "ula":
+        def A_fn(spacing):
+            geo = _dc.replace(cfg.geometry, norm_spacing=spacing)
+            return steer_ops.ula_grid(
+                geo, cfg.grid, num_elements=cfg.effective_num_elements)
+        return A_fn
+    assert cfg.grid2d is not None, "ura geometry requires grid2d"
+
+    def A_fn(spacing):
+        geo = _dc.replace(cfg.geometry, norm_spacing=spacing)
+        return steer_ops.ura_grid(geo, cfg.grid2d)
+    return A_fn
+
+
 def _steering_matrix(cfg: DoaConfig):
     """Precomputed scan steering matrix A: (G, N_eff) + (x_min, x_max)."""
+    A = _steering_fn(cfg)(cfg.geometry.norm_spacing)
     if cfg.geometry.kind == "ula":
-        A = steer_ops.ula_grid(
-            cfg.geometry, cfg.grid, num_elements=cfg.effective_num_elements
-        )
         return A, (cfg.grid.lo_deg, cfg.grid.hi_deg)
-    assert cfg.grid2d is not None, "ura geometry requires grid2d"
-    A = steer_ops.ura_grid(cfg.geometry, cfg.grid2d)
     # 2-D grids flatten az-major: bin → az index * num_el + el index.
     return A, (0.0, float(A.shape[0] - 1))
 

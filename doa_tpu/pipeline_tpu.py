@@ -18,9 +18,9 @@ import numpy as np
 from doa_tpu.configs import AvgMethod, DoaConfig, Estimator
 from doa_tpu.cpx import Cpx
 from doa_tpu.ops import cpx_ops
-from doa_tpu.ops.peaks import find_local_max
+from doa_tpu.ops.peaks import find_local_max, find_local_max_2d
 from doa_tpu.ops.root_music import root_music_cpx
-from doa_tpu.pipeline import DoaResult, _steering_matrix
+from doa_tpu.pipeline import DoaResult, _steering_fn, _steering_matrix
 
 
 def compute_covariances_cpx(x: Cpx, cfg: DoaConfig) -> Cpx:
@@ -43,13 +43,56 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     A_re = np.ascontiguousarray(A_host.real.astype(np.float32))
     A_im = np.ascontiguousarray(A_host.imag.astype(np.float32))
     want_root = Estimator.ROOT_MUSIC in cfg.estimators
+    is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+
+    wb = cfg.wideband.enabled
+    if wb:
+        from doa_tpu.ops.wideband import (
+            dft_matrix, wideband_steering_stack)
+        W_host = dft_matrix(cfg.wideband.num_subbands)
+        A_stack_host = wideband_steering_stack(cfg, _steering_fn(cfg))
+        # Device-resident, passed as jit ARGUMENTS (closed-over device
+        # arrays would be constant-folded, which some backends can't fetch,
+        # and a 100+MB steering stack must not be baked into the HLO).
+        wb_args = tuple(
+            jax.device_put(np.ascontiguousarray(p)) for p in (
+                W_host.real.astype(np.float32),
+                W_host.imag.astype(np.float32),
+                A_stack_host.real.astype(np.float32),
+                A_stack_host.imag.astype(np.float32)))
+
+    def _peaks(P):
+        """(values, angles): 1-D → angles (B, k); 2-D → (B, k, 2) az/el."""
+        if is_2d:
+            g2 = cfg.grid2d
+            P2 = P.reshape(P.shape[0], g2.num_az, g2.num_el)
+            v, az, el = find_local_max_2d(
+                P2, cfg.num_max_vals,
+                (g2.az_lo_deg, g2.az_hi_deg), (g2.el_lo_deg, g2.el_hi_deg),
+                refine=refine_peaks)
+            return v, jnp.stack([az, el], axis=-1)
+        v, l = find_local_max(P, cfg.num_max_vals, x_rng[0], x_rng[1],
+                              refine=refine_peaks)
+        return v, l
 
     @jax.jit
-    def run(xr, xi, cr, ci, Ar, Ai):
+    def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
         x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
         A = Cpx(Ar, Ai)
-        R = compute_covariances_cpx(x, cfg)
         spectra, pvals, pangs = {}, {}, {}
+        root_angles = None
+        if wb:
+            from doa_tpu.ops.wideband import wideband_music_cpx
+            Wr, Wi, Asr, Asi = wb_extra
+            P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg)
+            v, l = _peaks(P)
+            spectra["music"] = P
+            pvals["music"] = v
+            pangs["music"] = l
+            return dict(spectra=spectra, peak_values=pvals,
+                        peak_angles=pangs, root_music_angles=None,
+                        covariance=None)
+        R = compute_covariances_cpx(x, cfg)
         M = None
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
@@ -63,12 +106,10 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     R, A, diag_load=cfg.capon_diag_load)
             else:
                 continue
-            v, l = find_local_max(P, cfg.num_max_vals, x_rng[0], x_rng[1],
-                                  refine=refine_peaks)
+            v, l = _peaks(P)
             spectra[est.value] = P
             pvals[est.value] = v
             pangs[est.value] = l
-        root_angles = None
         if want_root:
             root_angles = root_music_cpx(
                 R, cfg.num_sources, cfg.geometry.norm_spacing)
@@ -98,7 +139,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             c = np.asarray(correction)
             cr = jnp.asarray(c.real.astype(np.float32))
             ci = jnp.asarray(c.imag.astype(np.float32))
-        out = run(xr, xi, cr, ci, A_re_d, A_im_d)
+        extra = wb_args if wb else ()
+        out = run(xr, xi, cr, ci, A_re_d, A_im_d, *extra)
         return DoaResult(**out)
 
     call.jitted = run
