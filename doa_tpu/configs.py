@@ -133,6 +133,11 @@ class DoaConfig:
     num_max_vals: int = 1             # peaks to report (reference find_local_max)
     capon_diag_load: float = 1e-4     # diagonal loading for Capon R⁻¹ (× tr(R)/N)
     compute_dtype: str = "float32"    # "float32" | "bfloat16" scan precision
+    # Signal-subspace extraction: "power" = batched subspace iteration
+    # (MXU-native, the fast path); "eigh" = full eigendecomposition
+    # (exact; LAPACK-style, slower on TPU for large batches).
+    subspace_method: str = "power"
+    power_iters: int = 16             # subspace-iteration count for "power"
 
     def __post_init__(self):
         if not (0 <= self.overlap < self.snapshot_size):

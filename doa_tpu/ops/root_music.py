@@ -160,13 +160,17 @@ def polynomial_roots_cpx(coeffs, num_iters: int = 60):
 
 
 def root_music_cpx(R, num_sources: int, norm_spacing: float,
-                   num_iters: int = 60):
-    """Cpx[B, N, N] covariance → DoA (B, K) degrees ascending — complex-free."""
+                   num_iters: int = 60, noise_proj=None):
+    """Cpx[B, N, N] covariance → DoA (B, K) degrees ascending — complex-free.
+
+    `noise_proj` (Cpx[B, N, N]) reuses a projector computed elsewhere
+    (e.g. from the power-iteration signal subspace); None → eigh path."""
     from doa_tpu.cpx import Cpx
     from doa_tpu.ops.cpx_ops import noise_projector_cpx
 
     N = R.shape[-1]
-    M = noise_projector_cpx(R, num_sources)
+    M = noise_proj if noise_proj is not None else noise_projector_cpx(
+        R, num_sources)
     cols_r = [jnp.trace(M.re, offset=l, axis1=-2, axis2=-1)
               for l in range(-(N - 1), N)]
     cols_i = [jnp.trace(M.im, offset=l, axis1=-2, axis2=-1)

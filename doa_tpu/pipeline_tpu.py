@@ -93,12 +93,25 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         peak_angles=pangs, root_music_angles=None,
                         covariance=None)
         R = compute_covariances_cpx(x, cfg)
+        use_power = cfg.subspace_method == "power"
         M = None
+        V_emb = None
+        if (use_power
+                and (Estimator.MUSIC in cfg.estimators or want_root)):
+            V_emb = cpx_ops.signal_subspace_embedded(
+                R, cfg.num_sources, iters=cfg.power_iters)
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
-                if M is None:
-                    M = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
-                den = cpx_ops.music_denominator_cpx(M, A)
+                if use_power:
+                    den = cpx_ops.music_denominator_subspace(
+                        V_emb, A,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
+                else:
+                    if M is None:
+                        M = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
+                    den = cpx_ops.music_denominator_cpx(
+                        M, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
+                den = jnp.maximum(den, 0.0)
                 P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
                 P = P / jnp.max(P, axis=-1, keepdims=True)
             elif est == Estimator.CAPON:
@@ -111,8 +124,11 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             pvals[est.value] = v
             pangs[est.value] = l
         if want_root:
+            nproj = (cpx_ops.noise_projector_from_signal(V_emb)
+                     if use_power else None)
             root_angles = root_music_cpx(
-                R, cfg.num_sources, cfg.geometry.norm_spacing)
+                R, cfg.num_sources, cfg.geometry.norm_spacing,
+                noise_proj=nproj)
         return dict(
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
@@ -126,9 +142,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         if isinstance(x, Cpx):
             xr, xi = x.re, x.im
         else:
-            x = np.asarray(x)
-            xr = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
-            xi = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+            from doa_tpu.io.native import split_c64
+            re, im = split_c64(np.asarray(x))  # native one-pass deinterleave
+            xr, xi = jnp.asarray(re), jnp.asarray(im)
         N = xr.shape[1]
         if correction is None:
             cr = jnp.ones((N,), jnp.float32)

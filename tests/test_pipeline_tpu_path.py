@@ -12,10 +12,14 @@ import dataclasses
 
 
 def test_tpu_path_matches_complex_path():
+    # subspace_method="eigh" for exact spectral parity with the complex
+    # reference path; the default "power" path has its own parity tests
+    # (test_power_subspace.py) at peak-angle tolerance.
     cfg = PRESETS["c2_ula8_2src"]
     cfg = dataclasses.replace(
         cfg, estimators=(Estimator.MUSIC, Estimator.CAPON,
-                         Estimator.ROOT_MUSIC))
+                         Estimator.ROOT_MUSIC),
+        subspace_method="eigh")
     x = synth_ula_iq(
         [SourceSpec(theta_deg=60.0, freq_norm=0.1),
          SourceSpec(theta_deg=110.0, freq_norm=0.31)],
@@ -36,7 +40,7 @@ def test_tpu_path_matches_complex_path():
 
 def test_tpu_path_overlap_and_smoothing():
     cfg = PRESETS["c3_ula16_calib_smooth"]
-    cfg = dataclasses.replace(cfg, overlap=512)
+    cfg = dataclasses.replace(cfg, overlap=512, subspace_method="eigh")
     x = synth_ula_iq(
         [SourceSpec(theta_deg=70.0, freq_norm=0.1),
          SourceSpec(theta_deg=100.0, freq_norm=0.1),

@@ -1,0 +1,78 @@
+"""Power-iteration signal subspace vs exact eigh: projector parity,
+spectrum parity, and end-to-end pipeline parity (the fast TPU path)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+import golden
+from doa_tpu import PRESETS
+from doa_tpu.configs import Estimator
+from doa_tpu.cpx import Cpx
+from doa_tpu.io import SourceSpec, synth_ula_iq
+from doa_tpu.ops import cpx_ops
+from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+
+def _R(snr=10, seed=3):
+    x = golden.synthetic_ula_iq([60.0, 110.0], 8, 0.5, 16384, snr_db=snr,
+                                seed=seed)
+    return golden.sample_covariance(golden.frame_samples(x, 2048, 0))
+
+
+def test_signal_subspace_projector_matches_eigh():
+    R = _R()
+    V = cpx_ops.signal_subspace_embedded(Cpx.from_complex(R), 2, iters=16)
+    # orthonormality
+    G = np.einsum("bik,bil->bkl", np.asarray(V), np.asarray(V))
+    np.testing.assert_allclose(G, np.broadcast_to(np.eye(4), G.shape),
+                               atol=1e-3)
+    M_pow = cpx_ops.noise_projector_from_signal(V).to_numpy()
+    En = golden.noise_subspace(R, 2)
+    M_ref = np.einsum("bnm,bkm->bnk", En, En.conj())
+    np.testing.assert_allclose(M_pow, M_ref, atol=2e-3)
+
+
+def test_subspace_denominator_matches_projector():
+    R = _R()
+    A = golden.ula_steering(np.linspace(0, 180, 721), 8, 0.5).astype(
+        np.complex64)
+    Ac = Cpx.from_complex(A)
+    Rc = Cpx.from_complex(R)
+    V = cpx_ops.signal_subspace_embedded(Rc, 2, iters=16)
+    den_sub = np.asarray(cpx_ops.music_denominator_subspace(V, Ac))
+    M = cpx_ops.noise_projector_cpx(Rc, 2)
+    den_ref = np.asarray(cpx_ops.music_denominator_cpx(M, Ac))
+    np.testing.assert_allclose(den_sub, den_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_low_snr_still_converges():
+    R = _R(snr=0, seed=9)
+    V = cpx_ops.signal_subspace_embedded(Cpx.from_complex(R), 2, iters=24)
+    M_pow = cpx_ops.noise_projector_from_signal(V).to_numpy()
+    En = golden.noise_subspace(R, 2)
+    M_ref = np.einsum("bnm,bkm->bnk", En, En.conj())
+    np.testing.assert_allclose(M_pow, M_ref, atol=5e-3)
+
+
+def test_pipeline_power_matches_eigh_end_to_end():
+    base = PRESETS["c2_ula8_2src"]
+    cfg_eigh = dataclasses.replace(
+        base, subspace_method="eigh",
+        estimators=(Estimator.MUSIC, Estimator.ROOT_MUSIC))
+    cfg_pow = dataclasses.replace(
+        base, subspace_method="power",
+        estimators=(Estimator.MUSIC, Estimator.ROOT_MUSIC))
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1),
+         SourceSpec(theta_deg=110.0, freq_norm=0.31)],
+        8, 0.5, 8 * 2048, snr_db=10, seed=1)
+    r_e = build_pipeline_tpu(cfg_eigh)(x)
+    r_p = build_pipeline_tpu(cfg_pow)(x)
+    np.testing.assert_allclose(
+        np.asarray(r_p.peak_angles["music"]),
+        np.asarray(r_e.peak_angles["music"]), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(r_p.root_music_angles),
+        np.asarray(r_e.root_music_angles), atol=0.1)
