@@ -29,8 +29,8 @@ def main():
     SNAP = 1024
     N = 16
     GRID = 1024
-    T = 1 << 20                      # 1,048,576 samples/channel per call
-    B = T // SNAP                    # 1024 snapshots per call
+    T = 1 << 23                      # 8.4M samples/channel per call
+    B = T // SNAP                    # 8192 snapshots per call
 
     cfg = DoaConfig(
         geometry=ArrayGeometry(kind="ula", num_elements=N,
@@ -56,12 +56,15 @@ def main():
 
     def one_call():
         out = pipe.jitted(xr, xi, cr, ci, Ar, Ai)
-        jax.block_until_ready(out["peak_angles"]["music"])
+        # Force a device→host fetch of a (tiny) result: on remote/async
+        # backends block_until_ready can return at enqueue time; a real
+        # roundtrip is the only trustworthy completion fence.
+        return np.asarray(out["peak_angles"]["music"])
 
     one_call()  # compile + warm
     one_call()
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         one_call()

@@ -1,0 +1,243 @@
+"""Command-line apps — the reference's `apps/*.grc` flowgraphs as CLI
+subcommands (SURVEY §2.4 B3–B5):
+
+  simulate            synthetic multi-channel IQ capture → file (B3)
+  estimate            recorded IQ → DoA estimates (B5: estimate_DoA_*)
+  calibrate-phase     stage-1 receiver-chain phase offsets (B4)
+  calibrate-elements  stage-2 antenna element calibration (B4)
+  track               streaming estimate + moving-emitter tracks (config 4)
+
+`python -m doa_tpu <cmd> --help` for each command's parameters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="c1_ula4_tone",
+                   help="config preset name (see doa_tpu.configs.PRESETS)")
+    p.add_argument("--elements", type=int, default=0,
+                   help="override number of array elements")
+    p.add_argument("--snapshot", type=int, default=0,
+                   help="override snapshot size")
+
+
+def _config(args):
+    from doa_tpu.configs import PRESETS
+
+    cfg = PRESETS[args.preset]
+    if getattr(args, "elements", 0):
+        cfg = dataclasses.replace(
+            cfg, geometry=dataclasses.replace(
+                cfg.geometry, num_elements=args.elements))
+    if getattr(args, "snapshot", 0):
+        cfg = dataclasses.replace(cfg, snapshot_size=args.snapshot)
+    return cfg
+
+
+def cmd_simulate(args):
+    from doa_tpu.io import SourceSpec, save_iq, synth_ula_iq, synth_ura_iq
+
+    cfg = _config(args)
+    angles = [float(a) for a in args.angles.split(",")]
+    sources = []
+    for i, a in enumerate(angles):
+        if cfg.geometry.kind == "ura":
+            el = [float(e) for e in (args.elevations or "45").split(",")]
+            sources.append(SourceSpec(az_deg=a,
+                                      el_deg=el[min(i, len(el) - 1)],
+                                      freq_norm=0.05 + 0.07 * i))
+        else:
+            sources.append(SourceSpec(theta_deg=a, freq_norm=0.05 + 0.07 * i))
+    n = cfg.geometry.num_elements
+    if cfg.geometry.kind == "ura":
+        x = synth_ura_iq(sources, cfg.geometry.shape,
+                         cfg.geometry.norm_spacing, args.samples,
+                         snr_db=args.snr, seed=args.seed)
+    else:
+        x = synth_ula_iq(sources, n, cfg.geometry.norm_spacing,
+                         args.samples, snr_db=args.snr, seed=args.seed)
+    save_iq(args.out, x, samp_rate=args.samp_rate,
+            metadata={"true_angles_deg": angles, "preset": args.preset})
+    print(json.dumps({"written": args.out, "shape": list(x.shape),
+                      "true_angles_deg": angles}))
+
+
+def cmd_estimate(args):
+    from doa_tpu.calib import load_calibration
+    from doa_tpu.io import load_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = _config(args)
+    x = load_iq(args.input)
+    corr = None
+    if args.calib:
+        corr = load_calibration(args.calib).correction_vector()
+    res = build_pipeline_tpu(cfg)(x, correction=corr)
+    out = {}
+    for est, ang in res.peak_angles.items():
+        a = np.asarray(ang)
+        # Peak ORDER is by spectrum value and varies per window; sort each
+        # window's angles before aggregating across windows.
+        if a.ndim == 3:  # 2-D scans: (B, k, 2) az/el — sort by azimuth
+            order = np.argsort(a[..., 0], axis=1)
+            a = np.take_along_axis(a, order[..., None], axis=1)
+        else:
+            a = np.sort(a, axis=1)
+        out[est] = {
+            "windows": int(a.shape[0]),
+            "median_angles_deg": np.round(
+                np.median(a, axis=0), 3).tolist(),
+        }
+    if res.root_music_angles is not None:
+        out["root_music"] = {
+            "median_angles_deg": np.round(np.median(
+                np.asarray(res.root_music_angles), axis=0), 3).tolist()}
+    if args.spectra_out:
+        np.savez(args.spectra_out,
+                 **{k: np.asarray(v) for k, v in res.spectra.items()})
+        out["spectra_written"] = args.spectra_out
+    print(json.dumps(out))
+
+
+def cmd_calibrate_phase(args):
+    from doa_tpu.calib import (
+        CalibrationArtifact, phase_offset_est, save_calibration)
+    from doa_tpu.io import load_iq
+
+    x = load_iq(args.input)
+    phi = np.asarray(phase_offset_est(x))
+    art = CalibrationArtifact(
+        phase_offsets=phi, num_elements=x.shape[1],
+        norm_spacing=args.spacing)
+    save_calibration(args.out, art)
+    print(json.dumps({"written": args.out,
+                      "phase_offsets_rad": np.round(phi, 4).tolist()}))
+
+
+def cmd_calibrate_elements(args):
+    import jax.numpy as jnp
+
+    from doa_tpu.calib import (
+        CalibrationArtifact, element_calibration, load_calibration,
+        save_calibration)
+    from doa_tpu.calib.element_cal import average_corrections
+    from doa_tpu.io import load_iq
+    from doa_tpu.ops import frame_samples, sample_covariance
+
+    x = load_iq(args.input)
+    phi = None
+    if args.phase_calib:
+        prev = load_calibration(args.phase_calib)
+        phi = prev.phase_offsets
+        if phi is not None:
+            x = x * np.exp(-1j * phi)[None, :]
+    R = sample_covariance(frame_samples(jnp.asarray(x), args.snapshot, 0))
+    c = element_calibration(R, args.pilot, args.spacing)
+    c_avg = np.asarray(average_corrections(c))
+    art = CalibrationArtifact(
+        phase_offsets=phi, element_corrections=c_avg,
+        num_elements=x.shape[1], norm_spacing=args.spacing,
+        pilot_theta_deg=args.pilot)
+    save_calibration(args.out, art)
+    print(json.dumps({
+        "written": args.out,
+        "gains": np.round(np.abs(c_avg), 4).tolist(),
+        "phases_rad": np.round(np.angle(c_avg), 4).tolist()}))
+
+
+def cmd_track(args):
+    from doa_tpu.io import load_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+    from doa_tpu.tracking import TrackerConfig, track_batch_np
+
+    cfg = _config(args)
+    x = load_iq(args.input)
+    res = build_pipeline_tpu(cfg)(x)
+    est = next(iter(res.peak_angles))
+    ang = np.asarray(res.peak_angles[est])
+    val = np.asarray(res.peak_values[est])
+    tracks = track_batch_np(ang.astype(np.float32), val.astype(np.float32),
+                            TrackerConfig(max_tracks=args.max_tracks))
+    active = ~np.all(np.isnan(tracks), axis=0)
+    print(json.dumps({
+        "windows": int(ang.shape[0]),
+        "active_tracks": int(active.sum()),
+        "final_track_angles_deg": [
+            None if np.isnan(v) else round(float(v), 2)
+            for v in tracks[-1]],
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="doa_tpu", description=__doc__)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force the JAX backend (site config may pin a TPU "
+                        "backend regardless of JAX_PLATFORMS; this wins)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("simulate", help="synthesize a multi-channel capture")
+    _add_common(ps)
+    ps.add_argument("--angles", default="72.0",
+                    help="comma-separated true source angles (deg)")
+    ps.add_argument("--elevations", default=None,
+                    help="comma-separated elevations for planar arrays")
+    ps.add_argument("--samples", type=int, default=1 << 16)
+    ps.add_argument("--snr", type=float, default=10.0)
+    ps.add_argument("--samp-rate", type=float, default=1e6)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_simulate)
+
+    pe = sub.add_parser("estimate", help="estimate DoA from recorded IQ")
+    _add_common(pe)
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--calib", default=None,
+                    help="calibration artifact (.npz) to apply")
+    pe.add_argument("--spectra-out", default=None)
+    pe.set_defaults(fn=cmd_estimate)
+
+    pp = sub.add_parser("calibrate-phase",
+                        help="stage 1: receiver-chain phase offsets")
+    pp.add_argument("--input", required=True,
+                    help="common-tone capture (all chains cabled together)")
+    pp.add_argument("--spacing", type=float, default=0.5)
+    pp.add_argument("--out", required=True)
+    pp.set_defaults(fn=cmd_calibrate_phase)
+
+    pc = sub.add_parser("calibrate-elements",
+                        help="stage 2: antenna element gain/phase")
+    pc.add_argument("--input", required=True,
+                    help="pilot-tone capture at a known angle")
+    pc.add_argument("--pilot", type=float, required=True,
+                    help="pilot angle (deg)")
+    pc.add_argument("--spacing", type=float, default=0.5)
+    pc.add_argument("--snapshot", type=int, default=1024)
+    pc.add_argument("--phase-calib", default=None,
+                    help="stage-1 artifact to apply first")
+    pc.add_argument("--out", required=True)
+    pc.set_defaults(fn=cmd_calibrate_elements)
+
+    pt = sub.add_parser("track", help="estimate + track moving emitters")
+    _add_common(pt)
+    pt.add_argument("--input", required=True)
+    pt.add_argument("--max-tracks", type=int, default=4)
+    pt.set_defaults(fn=cmd_track)
+
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,14 +32,16 @@ from doa_tpu.cpx import (
 # ---------------------------------------------------------------------
 
 def sample_covariance_cpx(frames: Cpx, fb_average: bool = False) -> Cpx:
-    """frames: Cpx[B, S, N] → R: Cpx[B, N, N] = (1/S)Σ x x^H."""
+    """frames: Cpx[B, S, N] → R: Cpx[B, N, N] = (1/S)Σ x x^H.
+
+    Single stacked Gram ZᵀZ with Z = [Xr | Xi] (see chunk_grams_cpx)."""
     S = frames.shape[-2]
-    Xr, Xi = frames.re, frames.im
-    mm = lambda a, b: jnp.einsum(  # noqa: E731
-        "bsi,bsj->bij", a, b, preferred_element_type=jnp.float32)
-    Rr = (mm(Xr, Xr) + mm(Xi, Xi)) / S
-    Ri = (mm(Xi, Xr) - mm(Xr, Xi)) / S
-    R = Cpx(Rr, Ri)
+    N = frames.shape[-1]
+    Z = jnp.concatenate([frames.re, frames.im], axis=-1)  # (B, S, 2N)
+    G = jnp.einsum("bsi,bsj->bij", Z, Z,
+                   preferred_element_type=jnp.float32) / S
+    R = Cpx(G[..., :N, :N] + G[..., N:, N:],
+            G[..., N:, :N] - G[..., :N, N:])
     if fb_average:
         R = forward_backward_cpx(R)
     return R
@@ -47,14 +49,26 @@ def sample_covariance_cpx(frames: Cpx, fb_average: bool = False) -> Cpx:
 
 def chunk_grams_cpx(x: Cpx, hop: int) -> Cpx:
     """x: Cpx[T, N] → per-hop-chunk Grams Cpx[T//hop, N, N] (unnormalized):
-    the associative partial sums that sliding windows / psum combine."""
+    the associative partial sums that sliding windows / psum combine.
+
+    Stacked-plane trick: with Z = [Xr | Xi] (hop, 2N), one Gram ZᵀZ yields
+    all four real blocks — a single (2N×hop)·(hop×2N) MXU matmul per chunk
+    instead of four N×N ones:
+        ZᵀZ = [[XrᵀXr, XrᵀXi], [XiᵀXr, XiᵀXi]];
+        Rr = TL + BR,  Ri = BL − TR.
+    """
     T, N = x.shape
     n = T // hop
-    Xr = x.re[: n * hop].reshape(n, hop, N)
-    Xi = x.im[: n * hop].reshape(n, hop, N)
-    mm = lambda a, b: jnp.einsum(  # noqa: E731
-        "csi,csj->cij", a, b, preferred_element_type=jnp.float32)
-    return Cpx(mm(Xr, Xr) + mm(Xi, Xi), mm(Xi, Xr) - mm(Xr, Xi))
+    Z = jnp.concatenate(
+        [x.re[: n * hop].reshape(n, hop, N),
+         x.im[: n * hop].reshape(n, hop, N)], axis=-1)   # (n, hop, 2N)
+    G = jnp.einsum("csi,csj->cij", Z, Z,
+                   preferred_element_type=jnp.float32)    # (n, 2N, 2N)
+    TL = G[:, :N, :N]
+    TR = G[:, :N, N:]
+    BL = G[:, N:, :N]
+    BR = G[:, N:, N:]
+    return Cpx(TL + BR, BL - TR)
 
 
 def cov_from_stream_cpx(x: Cpx, snapshot_size: int, overlap: int,

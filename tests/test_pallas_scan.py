@@ -1,0 +1,57 @@
+"""Pallas MUSIC scan kernel vs the jnp subspace scan (interpreter mode on
+CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import golden
+from doa_tpu.cpx import Cpx, embed_vector
+from doa_tpu.ops import cpx_ops
+from doa_tpu.ops.pallas import music_scan_pallas
+
+
+def _setup(B_windows=8, N=16, G=721, K=2):
+    x = golden.synthetic_ula_iq([60.0, 110.0], N, 0.5, B_windows * 2048,
+                                snr_db=10, seed=3)
+    R = golden.sample_covariance(golden.frame_samples(x, 2048, 0))
+    A = golden.ula_steering(np.linspace(0, 180, G), N, 0.5).astype(
+        np.complex64)
+    Rc = Cpx.from_complex(R)
+    Ac = Cpx.from_complex(A)
+    V = cpx_ops.signal_subspace_embedded(Rc, K, iters=16)
+    return V, Ac
+
+
+def _check(P_pal, V, Ac, num_peaks=2):
+    """Compare at denominator level (reciprocals amplify f32 noise
+    unboundedly at the MUSIC nulls) + peak angles on normalized spectra."""
+    den_ref = np.asarray(cpx_ops.music_denominator_subspace(V, Ac))
+    den_pal = 1.0 / P_pal
+    np.testing.assert_allclose(den_pal, den_ref, rtol=1e-3, atol=2e-3)
+    from doa_tpu.ops.peaks import find_local_max
+    import jax.numpy as jnp
+    G = P_pal.shape[1]
+    Pn_pal = P_pal / P_pal.max(-1, keepdims=True)
+    P_ref = 1.0 / np.maximum(den_ref, np.finfo(np.float32).tiny)
+    Pn_ref = P_ref / P_ref.max(-1, keepdims=True)
+    _, l_pal = find_local_max(jnp.asarray(Pn_pal), num_peaks, 0.0, 180.0)
+    _, l_ref = find_local_max(jnp.asarray(Pn_ref), num_peaks, 0.0, 180.0)
+    np.testing.assert_allclose(np.sort(np.asarray(l_pal), -1),
+                               np.sort(np.asarray(l_ref), -1), atol=0.3)
+
+
+def test_pallas_scan_matches_jnp():
+    V, Ac = _setup()
+    At = embed_vector(Ac)
+    P_pal = np.asarray(music_scan_pallas(V, At, interpret=True))
+    assert P_pal.shape == (8, 721)
+    _check(P_pal, V, Ac)
+
+
+def test_pallas_scan_ragged_shapes():
+    # B not a multiple of the lane pack, G not a multiple of 128.
+    V, Ac = _setup(B_windows=5, G=333)
+    At = embed_vector(Ac)
+    P_pal = np.asarray(music_scan_pallas(V, At, interpret=True))
+    assert P_pal.shape == (5, 333)
+    _check(P_pal, V, Ac)
