@@ -1,32 +1,35 @@
 """Sharded DoA pipeline under `jax.shard_map` (SURVEY §7.2 M5).
 
+Runs entirely on the split-complex (re/im planes) path so it compiles on
+complex-free TPU backends and uses the same MXU-optimal ops as the
+single-chip TPU pipeline (power-iteration subspace, stacked Grams).
+
 Layout (mesh axes from doa_tpu.parallel.mesh):
 
-    x: c64[T, N]      → P("snap", None)   time axis across devices
-    A: c64[G, N_eff]  → P("grid", None)   steering grid across devices
-    out peaks         → P("snap", None)   window batch follows time shards
+    x planes f32[T, N]   → P("snap", None)   time axis across devices
+    A planes f32[G, N]   → P("grid", None)   steering grid across devices
+    out peaks            → P("snap", None)   window batch follows time
 
 Per device: halo-exchange `overlap` samples from the right time-neighbor
-(`lax.ppermute`), frame/chunk locally, covariance+eigh for the windows that
-START in the local block, scan the LOCAL angle block, `all_gather` the
-spectrum row over "grid" for peak extraction. Windows at the global tail
-whose halo wrapped past the end are invalid; callers slice to
-`num_valid_windows(T, cfg)`.
+(`lax.ppermute`), chunk-Gram covariance for the windows that START in the
+local block, subspace iteration, scan the LOCAL angle block, `all_gather`
+the spectrum row over "grid" for normalization + peak extraction. Windows
+at the global tail whose halo wrapped past the end are invalid; callers
+slice to `num_valid_windows(T, cfg)`.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from doa_tpu.configs import AvgMethod, DoaConfig, Estimator
-from doa_tpu.ops import covariance as cov_ops
-from doa_tpu.ops.capon import capon_spectrum
-from doa_tpu.ops.music import music_spectrum
+from doa_tpu.cpx import Cpx
+from doa_tpu.ops import cpx_ops
 from doa_tpu.ops.peaks import find_local_max
 from doa_tpu.parallel.mesh import GRID_AXIS, SNAP_AXIS
 from doa_tpu.pipeline import _steering_matrix
@@ -38,56 +41,64 @@ def num_valid_windows(T: int, cfg: DoaConfig) -> int:
     return 0 if T < S else (T - S) // hop + 1
 
 
-def _halo_exchange(x_local, overlap: int, axis_name: str):
-    """Receive the first `overlap` rows of the RIGHT neighbor's block
-    (appended to the local block so boundary-crossing windows are whole).
+def _halo_exchange(plane, overlap: int, axis_name: str):
+    """Append the first `overlap` rows of the RIGHT neighbor's block.
     The last shard receives zeros — its tail windows are invalid anyway."""
     n = jax.lax.axis_size(axis_name)
     if overlap == 0 or n == 1:
-        return x_local
-    head = x_local[:overlap]
-    # perm (src → dst): device i+1 sends to device i.
-    perm = [(i + 1, i) for i in range(n - 1)]
+        return plane
+    head = plane[:overlap]
+    perm = [(i + 1, i) for i in range(n - 1)]  # device i+1 → device i
     halo = jax.lax.ppermute(head, axis_name, perm)
-    return jnp.concatenate([x_local, halo], axis=0)
+    return jnp.concatenate([plane, halo], axis=0)
 
 
 def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                            refine_peaks: bool = True):
-    """→ jitted fn(x: c64[T, N], correction: c64[N]) → dict of sharded
-    outputs. T must be divisible by (n_snap * hop); windows are produced
-    for every hop-aligned start, callers slice to num_valid_windows."""
+    """→ callable(x: complex (T, N) | Cpx, correction) → dict of sharded
+    outputs. T must be divisible by (n_snap * hop)."""
     A_host, x_rng = _steering_matrix(cfg)
     S, hop, overlap = cfg.snapshot_size, cfg.hop, cfg.overlap
     fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
-    # Halo = S - hop = overlap samples from the right neighbor: the latest
-    # window starting in a block of Tl samples begins at Tl - hop and ends
-    # at Tl - hop + S = Tl + overlap.
     n_grid = mesh.shape[GRID_AXIS]
     G = A_host.shape[0]
     if G % n_grid:
         raise ValueError(f"grid size {G} not divisible by n_grid {n_grid}")
+    use_power = cfg.subspace_method == "power"
 
-    def shard_fn(x_local, correction, A_local):
-        x_local = x_local * correction[None, :]
-        x_ext = _halo_exchange(x_local, overlap, SNAP_AXIS)
-        R = cov_ops.cov_from_stream(x_ext, S, overlap, fb_average=fb)
+    def shard_fn(xr, xi, cr, ci, Ar, Ai):
+        x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
+        x = Cpx(_halo_exchange(x.re, overlap, SNAP_AXIS),
+                _halo_exchange(x.im, overlap, SNAP_AXIS))
+        R = cpx_ops.cov_from_stream_cpx(x, S, overlap, fb_average=fb)
         if cfg.smoothing.enabled:
-            R = cov_ops.spatial_smooth(R, cfg.smoothing.subarray_size)
+            R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
+        A = Cpx(Ar, Ai)
+        V_emb = None
+        if use_power and Estimator.MUSIC in cfg.estimators:
+            V_emb = cpx_ops.signal_subspace_embedded(
+                R, cfg.num_sources, iters=cfg.power_iters)
         out = {}
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
-                P_loc = music_spectrum(R, A_local, cfg.num_sources,
-                                       normalize=False)
+                if use_power:
+                    den = cpx_ops.music_denominator_subspace(
+                        V_emb, A,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
+                    den = jnp.maximum(den, 0.0)
+                else:
+                    M = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
+                    den = cpx_ops.music_denominator_cpx(M, A)
+                P_loc = 1.0 / jnp.maximum(den,
+                                          jnp.finfo(jnp.float32).tiny)
             elif est == Estimator.CAPON:
-                P_loc = capon_spectrum(R, A_local,
-                                       diag_load=cfg.capon_diag_load,
-                                       normalize=False)
+                P_loc = cpx_ops.capon_spectrum_cpx(
+                    R, A, diag_load=cfg.capon_diag_load, normalize=False)
             else:
                 continue
             # TP: gather the full spectrum row for normalization + peaks.
-            P_full = jax.lax.all_gather(
-                P_loc, GRID_AXIS, axis=1, tiled=True)
+            P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
+                                        tiled=True)
             P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
             v, l = find_local_max(P_full, cfg.num_max_vals, x_rng[0],
                                   x_rng[1], refine=refine_peaks)
@@ -106,26 +117,42 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(SNAP_AXIS, None), P(), P(GRID_AXIS, None)),
+        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
+                  P(GRID_AXIS, None), P(GRID_AXIS, None)),
         out_specs=out_specs,
         check_vma=False,
     )
     jitted = jax.jit(mapped)
 
-    A_dev = jax.device_put(
-        A_host, NamedSharding(mesh, P(GRID_AXIS, None)))
+    A_sh = NamedSharding(mesh, P(GRID_AXIS, None))
+    Ar_d = jax.device_put(
+        np.ascontiguousarray(A_host.real.astype(np.float32)), A_sh)
+    Ai_d = jax.device_put(
+        np.ascontiguousarray(A_host.imag.astype(np.float32)), A_sh)
 
     def call(x, correction=None):
-        x = jnp.asarray(x)
         n_snap = mesh.shape[SNAP_AXIS]
-        if x.shape[0] % (n_snap * hop):
+        if isinstance(x, Cpx):
+            xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
+        else:
+            from doa_tpu.io.native import split_c64
+            xr_h, xi_h = split_c64(np.asarray(x))
+        T = xr_h.shape[0]
+        if T % (n_snap * hop):
             raise ValueError(
-                f"T={x.shape[0]} must be divisible by n_snap*hop="
-                f"{n_snap * hop}")
+                f"T={T} must be divisible by n_snap*hop={n_snap * hop}")
+        x_sh = NamedSharding(mesh, P(SNAP_AXIS, None))
+        xr = jax.device_put(xr_h, x_sh)
+        xi = jax.device_put(xi_h, x_sh)
+        N = xr_h.shape[1]
         if correction is None:
-            correction = jnp.ones((x.shape[1],), dtype=x.dtype)
-        x = jax.device_put(x, NamedSharding(mesh, P(SNAP_AXIS, None)))
-        return jitted(x, jnp.asarray(correction), A_dev)
+            cr = jnp.ones((N,), jnp.float32)
+            ci = jnp.zeros((N,), jnp.float32)
+        else:
+            c = np.asarray(correction)
+            cr = jnp.asarray(c.real.astype(np.float32))
+            ci = jnp.asarray(c.imag.astype(np.float32))
+        return jitted(xr, xi, cr, ci, Ar_d, Ai_d)
 
     call.jitted = jitted
     call.mesh = mesh
@@ -133,31 +160,37 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
 
 
 def distributed_covariance(mesh: Mesh):
-    """→ jitted fn(x: c64[T, N]) → R: c64[N, N] — ONE covariance over the
-    whole (time-sharded) capture: local chunk Grams + `psum` over the snap
-    axis. The calibration-at-scale primitive (partial sums over ICI instead
-    of gathering 1.28 GB/s of samples to one host)."""
+    """→ jitted fn(x) → R: Cpx[N, N] — ONE covariance over the whole
+    time-sharded capture: local stacked Grams + `psum` over the snap axis
+    (the calibration-at-scale primitive: partial sums ride ICI instead of
+    gathering GB/s of samples to one host)."""
 
-    def shard_fn(x_local):
-        C = jnp.einsum(
-            "si,sj->ij", x_local, x_local.conj(),
-            preferred_element_type=jnp.complex64)
-        C = jax.lax.psum(C, SNAP_AXIS)
-        # total sample count = local * n_snap (uniform shards)
-        total = x_local.shape[0] * jax.lax.axis_size(SNAP_AXIS)
-        return C / total
+    def shard_fn(xr, xi):
+        N = xr.shape[1]
+        Z = jnp.concatenate([xr, xi], axis=-1)
+        Gm = jnp.einsum("si,sj->ij", Z, Z,
+                        preferred_element_type=jnp.float32)
+        Gm = jax.lax.psum(Gm, SNAP_AXIS)
+        total = xr.shape[0] * jax.lax.axis_size(SNAP_AXIS)
+        Gm = Gm / total
+        return (Gm[:N, :N] + Gm[N:, N:], Gm[N:, :N] - Gm[:N, N:])
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(SNAP_AXIS, None),),
-        out_specs=P(),
+        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     jitted = jax.jit(mapped)
 
     def call(x):
-        x = jax.device_put(
-            jnp.asarray(x), NamedSharding(mesh, P(SNAP_AXIS, None)))
-        return jitted(x)
+        if isinstance(x, Cpx):
+            xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
+        else:
+            from doa_tpu.io.native import split_c64
+            xr_h, xi_h = split_c64(np.asarray(x))
+        sh = NamedSharding(mesh, P(SNAP_AXIS, None))
+        rr, ri = jitted(jax.device_put(xr_h, sh), jax.device_put(xi_h, sh))
+        return Cpx(rr, ri)
 
     return call

@@ -2,6 +2,8 @@
 exchange correctness (sharded == single-device), grid TP, distributed
 covariance psum."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +15,7 @@ from doa_tpu.parallel import (
     MeshSpec, make_mesh, build_sharded_pipeline, distributed_covariance)
 from doa_tpu.parallel.sharded import num_valid_windows
 from doa_tpu.pipeline import build_pipeline
+from doa_tpu.pipeline_tpu import build_pipeline_tpu
 from doa_tpu.io import SourceSpec, synth_ula_iq
 
 
@@ -36,14 +39,15 @@ def _capture(T=16384):
 
 @pytest.mark.parametrize("spec", [MeshSpec(8, 1), MeshSpec(4, 2),
                                   MeshSpec(2, 4)])
-def test_sharded_matches_single_device(spec):
+def test_sharded_matches_single_device_exact(spec):
+    """eigh path: sharded must reproduce the complex reference pipeline."""
+    cfg = dataclasses.replace(CFG, subspace_method="eigh")
     x = _capture()
     mesh = make_mesh(spec)
-    sharded = build_sharded_pipeline(CFG, mesh)
-    out = sharded(x)
-    B_valid = num_valid_windows(x.shape[0], CFG)
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    B_valid = num_valid_windows(x.shape[0], cfg)
 
-    ref = build_pipeline(CFG)(x)
+    ref = build_pipeline(cfg)(x)
     for est in ("music", "capon"):
         P_s = np.asarray(out[f"spectrum_{est}"])[:B_valid]
         P_r = np.asarray(ref.spectra[est])
@@ -51,6 +55,19 @@ def test_sharded_matches_single_device(spec):
         a_s = np.asarray(out[f"peak_angles_{est}"])[:B_valid]
         a_r = np.asarray(ref.peak_angles[est])
         np.testing.assert_allclose(a_s, a_r, atol=0.01)
+
+
+def test_sharded_power_matches_single_device_power():
+    """power path (the TPU default): sharded == single-device TPU path."""
+    x = _capture()
+    mesh = make_mesh(MeshSpec(4, 2))
+    out = build_sharded_pipeline(CFG, mesh)(x)
+    B_valid = num_valid_windows(x.shape[0], CFG)
+    ref = build_pipeline_tpu(CFG)(x)
+    for est in ("music", "capon"):
+        a_s = np.sort(np.asarray(out[f"peak_angles_{est}"])[:B_valid], -1)
+        a_r = np.sort(np.asarray(ref.peak_angles[est]), -1)
+        np.testing.assert_allclose(a_s, a_r, atol=0.05)
 
 
 def test_sharded_angle_accuracy():
@@ -66,7 +83,7 @@ def test_sharded_angle_accuracy():
 def test_distributed_covariance_matches_full():
     x = _capture(8192)
     mesh = make_mesh(MeshSpec(8, 1))
-    R_dist = np.asarray(distributed_covariance(mesh)(x))
+    R_dist = distributed_covariance(mesh)(x).to_numpy()
     R_full = golden.sample_covariance(x[None])[0]
     np.testing.assert_allclose(R_dist, R_full, rtol=3e-4, atol=2e-5)
 
