@@ -263,22 +263,61 @@ def music_spectrum_cpx(R: Cpx, A: Cpx, num_sources: int,
 
 
 def capon_spectrum_cpx(R: Cpx, A: Cpx, diag_load: float = 1e-4,
-                       normalize: bool = True):
-    """Real-path Capon-MVDR: Cholesky of the 2N real embedding,
-    den = ‖L⁻¹ ã‖²."""
+                       normalize: bool = True, method: str = "newton",
+                       newton_iters: int = 24):
+    """Real-path Capon-MVDR: den = ãᵀ E(R)⁻¹ ã on the 2N real embedding.
+
+    method="newton" (default): Newton-Schulz matrix-inverse iteration
+        X ← X (2I − E X),  X₀ = E ᵀ/ (‖E‖₁‖E‖∞)
+    — pure batched MXU matmuls with quadratic convergence, the same
+    LAPACK-avoidance rationale as the subspace power iteration (XLA's
+    batched Cholesky is latency-bound on TPU for many small matrices).
+    Diagonal loading bounds the condition number, so a fixed iteration
+    count converges; `newton_iters=24` reaches f32 accuracy for
+    cond(E) ≲ 1e5 (diag_load ≥ 1e-4 guarantees cond ≤ ~1e4/diag-load
+    scale). method="cholesky": exact triangular solve.
+    """
     N = R.shape[-1]
     if diag_load > 0:
         tr = jnp.trace(R.re, axis1=-2, axis2=-1) / N
         eye = jnp.eye(N, dtype=R.re.dtype)
         R = Cpx(R.re + (diag_load * tr)[..., None, None] * eye, R.im)
     E = embed_hermitian(R)                        # (B, 2N, 2N) SPD
-    L = jax.lax.linalg.cholesky(E)
     At = embed_vector(A).T                        # (2N, G)
-    Atb = jnp.broadcast_to(At, E.shape[:-2] + At.shape)
-    X = jax.lax.linalg.triangular_solve(
-        L, Atb, left_side=True, lower=True)
-    den = jnp.sum(X * X, axis=-2)
+    if method == "cholesky":
+        L = jax.lax.linalg.cholesky(E)
+        Atb = jnp.broadcast_to(At, E.shape[:-2] + At.shape)
+        X = jax.lax.linalg.triangular_solve(
+            L, Atb, left_side=True, lower=True)
+        den = jnp.sum(X * X, axis=-2)
+    else:
+        Einv = _spd_inverse_newton(E, iters=newton_iters)
+        # den[b, g] = ã_gᵀ Einv_b ã_g: (B,2N,2N)·(2N,G) then row dots.
+        T = jnp.einsum("bnm,mg->bng", Einv, At,
+                       preferred_element_type=jnp.float32)
+        den = jnp.einsum("ng,bng->bg", At, T,
+                         preferred_element_type=jnp.float32)
     P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
     if normalize:
         P = P / jnp.max(P, axis=-1, keepdims=True)
     return P
+
+
+def _spd_inverse_newton(E, iters: int = 24):
+    """Batched SPD inverse by Newton-Schulz: X ← X(2I − EX).
+
+    Init X₀ = I·(1/‖E‖ upper bound) via row-sum norm — guarantees
+    ‖I − EX₀‖ < 1 for SPD E; quadratic convergence thereafter."""
+    n = E.shape[-1]
+    eye = jnp.eye(n, dtype=E.dtype)
+    # ‖E‖₁ = ‖E‖∞ for symmetric: max abs row sum.
+    norm = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
+    X = eye / norm[..., None, None]
+
+    def body(_, X):
+        EX = jnp.einsum("bij,bjk->bik", E, X,
+                        preferred_element_type=jnp.float32)
+        return jnp.einsum("bij,bjk->bik", X, 2.0 * eye - EX,
+                          preferred_element_type=jnp.float32)
+
+    return jax.lax.fori_loop(0, iters, body, X)

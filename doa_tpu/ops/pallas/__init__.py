@@ -7,5 +7,6 @@ implementations remain as the portable fallback.
 """
 
 from doa_tpu.ops.pallas.music_scan import music_scan_pallas, pack_subspace
+from doa_tpu.ops.pallas.covariance import cov_windows_pallas
 
-__all__ = ["music_scan_pallas", "pack_subspace"]
+__all__ = ["music_scan_pallas", "pack_subspace", "cov_windows_pallas"]

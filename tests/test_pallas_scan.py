@@ -55,3 +55,15 @@ def test_pallas_scan_ragged_shapes():
     P_pal = np.asarray(music_scan_pallas(V, At, interpret=True))
     assert P_pal.shape == (5, 333)
     _check(P_pal, V, Ac)
+
+
+def test_pallas_cov_matches_golden():
+    from doa_tpu.ops.pallas import cov_windows_pallas
+
+    x = golden.synthetic_ula_iq([70.0], 8, 0.5, 8192, snr_db=10, seed=4)
+    for S, O in [(512, 0), (512, 256)]:
+        R_ref = golden.sample_covariance(golden.frame_samples(x, S, O))
+        R_pal = cov_windows_pallas(Cpx.from_complex(x), S, O,
+                                   interpret=True)
+        np.testing.assert_allclose(R_pal.to_numpy(), R_ref, rtol=3e-4,
+                                   atol=2e-5)

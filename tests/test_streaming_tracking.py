@@ -88,3 +88,33 @@ def test_tracker_follows_moving_emitters():
     ref = np.sort(np.stack([50.0 + 0.3 * t2, 130.0 - 0.25 * t2], 1), 1)
     err = np.nanmean(np.abs(act - ref))
     assert err < 1.0, err
+
+
+def test_stream_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from doa_tpu.checkpoint import (
+        StreamState, load_stream_state, save_stream_state)
+    from doa_tpu.tracking import TrackerConfig, init_tracks, track_batch
+
+    # run a tracker halfway, checkpoint, resume, compare with uninterrupted
+    B = 60
+    t = np.arange(B, dtype=np.float32)
+    det = (80.0 + 0.2 * t)[:, None]
+    vals = np.ones_like(det)
+    tc = TrackerConfig(max_tracks=2)
+    full_state, full_out = track_batch(det, vals, tc)
+
+    half_state, half_out = track_batch(det[:30], vals[:30], tc)
+    st = StreamState(track_state=half_state, samples_processed=30 * 512,
+                     overlap_tail=np.zeros((4, 2), np.complex64),
+                     cov_carry_re=np.zeros((2, 2, 2), np.float32),
+                     cov_carry_im=np.zeros((2, 2, 2), np.float32))
+    p = str(tmp_path / "stream.npz")
+    save_stream_state(p, st)
+    st2 = load_stream_state(p)
+    assert st2.samples_processed == 30 * 512
+    assert st2.overlap_tail.shape == (4, 2)
+    _, resumed_out = track_batch(det[30:], vals[30:], tc,
+                                 init=st2.track_state)
+    np.testing.assert_allclose(
+        np.asarray(resumed_out), np.asarray(full_out)[30:], atol=1e-4)
