@@ -138,6 +138,11 @@ class DoaConfig:
     # (exact; LAPACK-style, slower on TPU for large batches).
     subspace_method: str = "power"
     power_iters: int = 16             # subspace-iteration count for "power"
+    # MUSIC scan strategy: "dense" scans the full grid; "hierarchical"
+    # (ULA + power path only) runs a coarse grid scan then refines each
+    # peak on an on-device micro-grid — resolution beyond the grid at a
+    # fraction of the flops (ops.hierarchical).
+    scan_mode: str = "dense"
 
     def __post_init__(self):
         if not (0 <= self.overlap < self.snapshot_size):

@@ -1,0 +1,93 @@
+"""Hierarchical (coarse → refine) MUSIC scan.
+
+Dense scanning couples angular resolution to grid size: 0.01° over 180°
+needs an 18,000-column steering matrix per estimator. Here resolution is
+decoupled: a COARSE dense scan (optionally bf16/int8) finds peak basins
+— the MUSIC denominator is aperture-smooth, so a ~1°-spaced grid cannot
+miss a basin even when the null itself is ultra-sharp — then a REFINE
+stage evaluates the exact denominator on a narrow per-peak window whose
+steering vectors are synthesized ON DEVICE at data-dependent angles
+(a(θ) is analytic; no precomputed matrix), followed by a closed-form
+parabolic minimum of the locally-quadratic denominator.
+
+Cost: coarse B·G_c·2N·2K + refine B·k·W·2N·2K, vs dense B·G_fine·2N·2K.
+At 0.01° effective resolution with G_c = 256, W = 64: ~50× fewer scan
+flops than the equivalent dense grid. No reference analog (upstream
+scans one fixed grid); this is the TPU-native superresolution path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from doa_tpu.cpx import Cpx
+from doa_tpu.ops import cpx_ops
+from doa_tpu.ops.peaks import find_local_max
+
+
+def ula_denominator_at(V_emb, theta_deg, norm_spacing: float):
+    """Exact MUSIC denominator at arbitrary (traced) angles for a ULA.
+
+    V_emb: f32[B, 2N, 2K]; theta_deg: f32[B, ...] → den f32[B, ...].
+    Steering is built in-graph: phase = −2π·d·cosθ·k, ã = [cos; sin].
+    ‖a‖² = N exactly (unit-modulus entries)."""
+    n2 = V_emb.shape[-2]
+    N = n2 // 2
+    theta = jnp.deg2rad(theta_deg)
+    k = jnp.arange(N, dtype=jnp.float32)
+    phase = (-2.0 * jnp.pi * norm_spacing
+             * jnp.cos(theta)[..., None] * k)          # (B, ..., N)
+    at = jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+    # Y[b, ..., m] = Σ_n ã[b, ..., n] V[b, n, m]
+    Y = jnp.einsum("b...n,bnm->b...m", at, V_emb,
+                   preferred_element_type=jnp.float32)
+    return N - jnp.sum(Y * Y, axis=-1)
+
+
+def refine_peaks_ula(V_emb, coarse_deg, norm_spacing: float,
+                     half_width_deg: float = 1.5, num_points: int = 33):
+    """Per-peak refinement: dense micro-scan of the exact denominator on
+    [θc − hw, θc + hw] + parabolic minimum. coarse_deg: f32[B, k] →
+    refined f32[B, k]."""
+    offs = jnp.linspace(-half_width_deg, half_width_deg, num_points)
+    theta = coarse_deg[..., None] + offs                # (B, k, W)
+    den = ula_denominator_at(V_emb, theta, norm_spacing)
+    i = jnp.argmin(den, axis=-1)
+    W = num_points
+    im = jnp.clip(i - 1, 0, W - 1)
+    ip = jnp.clip(i + 1, 0, W - 1)
+    dm = jnp.take_along_axis(den, im[..., None], -1)[..., 0]
+    d0 = jnp.take_along_axis(den, i[..., None], -1)[..., 0]
+    dp = jnp.take_along_axis(den, ip[..., None], -1)[..., 0]
+    curv = dm - 2.0 * d0 + dp
+    delta = jnp.where(jnp.abs(curv) > 0, 0.5 * (dm - dp) / curv, 0.0)
+    delta = jnp.where((i > 0) & (i < W - 1),
+                      jnp.clip(delta, -1.0, 1.0), 0.0)
+    step = 2.0 * half_width_deg / (W - 1)
+    t0 = jnp.take_along_axis(theta, i[..., None], -1)[..., 0]
+    return t0 + delta * step
+
+
+def music_hierarchical_ula(V_emb, A_coarse: Cpx, num_peaks: int,
+                           norm_spacing: float,
+                           coarse_rng=(0.0, 180.0),
+                           half_width_deg: float = 1.5,
+                           num_points: int = 33,
+                           compute_dtype=jnp.float32):
+    """Full coarse→refine MUSIC for a ULA.
+
+    → (peak_values f32[B, k] (coarse, max-normalized),
+       angles f32[B, k] refined to sub-grid precision)."""
+    den_c = cpx_ops.music_denominator_subspace(
+        V_emb, A_coarse, compute_dtype=compute_dtype)
+    den_c = jnp.maximum(den_c, 0.0)
+    P_c = 1.0 / jnp.maximum(den_c, jnp.finfo(jnp.float32).tiny)
+    P_c = P_c / jnp.max(P_c, axis=-1, keepdims=True)
+    vals, coarse = find_local_max(P_c, num_peaks, coarse_rng[0],
+                                  coarse_rng[1], refine=False)
+    refined = refine_peaks_ula(V_emb, coarse, norm_spacing,
+                               half_width_deg, num_points)
+    return vals, refined

@@ -98,13 +98,26 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
             fb_average=False)
 
     R = jax.vmap(cov_one)(xs)                       # Cpx (F, B, N, N)
-    M_proj = jax.vmap(
-        lambda r: cpx_ops.noise_projector_cpx(r, cfg.num_sources))(R)
 
-    def spec_one(mp, Af):
-        den = cpx_ops.music_denominator_cpx(mp, Af)
-        P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
-        return P / jnp.max(P, axis=-1, keepdims=True)
+    if cfg.subspace_method == "power":
+        V = jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
+            r, cfg.num_sources, iters=cfg.power_iters))(R)
 
-    P_sub = jax.vmap(spec_one)(M_proj, A_stack)     # (F, B, G)
+        def spec_one(v, Af):
+            den = jnp.maximum(
+                cpx_ops.music_denominator_subspace(v, Af), 0.0)
+            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return P / jnp.max(P, axis=-1, keepdims=True)
+
+        P_sub = jax.vmap(spec_one)(V, A_stack)      # (F, B, G)
+    else:
+        M_proj = jax.vmap(
+            lambda r: cpx_ops.noise_projector_cpx(r, cfg.num_sources))(R)
+
+        def spec_one(mp, Af):
+            den = cpx_ops.music_denominator_cpx(mp, Af)
+            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return P / jnp.max(P, axis=-1, keepdims=True)
+
+        P_sub = jax.vmap(spec_one)(M_proj, A_stack)  # (F, B, G)
     return jnp.mean(P_sub, axis=0)                  # incoherent fusion

@@ -100,8 +100,21 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 and (Estimator.MUSIC in cfg.estimators or want_root)):
             V_emb = cpx_ops.signal_subspace_embedded(
                 R, cfg.num_sources, iters=cfg.power_iters)
+        hier = (cfg.scan_mode == "hierarchical" and use_power
+                and cfg.geometry.kind == "ula")
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
+                if hier:
+                    from doa_tpu.ops.hierarchical import (
+                        music_hierarchical_ula)
+                    v, l = music_hierarchical_ula(
+                        V_emb, A, cfg.num_max_vals,
+                        cfg.geometry.norm_spacing,
+                        coarse_rng=x_rng,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
+                    pvals[est.value] = v
+                    pangs[est.value] = l
+                    continue
                 if use_power:
                     den = cpx_ops.music_denominator_subspace(
                         V_emb, A,

@@ -62,3 +62,31 @@ def test_bf16_scan_close_to_f32():
     _, l16 = find_local_max(jnp.asarray(P16), 2, 0.0, 180.0)
     np.testing.assert_allclose(np.sort(np.asarray(l16), -1),
                                np.sort(np.asarray(l32), -1), atol=0.5)
+
+
+def test_int8_scan_peaks_survive():
+    import jax.numpy as jnp
+    import golden
+    from doa_tpu.cpx import Cpx
+    from doa_tpu.ops import cpx_ops
+    from doa_tpu.ops.peaks import find_local_max
+
+    x = golden.synthetic_ula_iq([60.0, 110.0], 8, 0.5, 16384, snr_db=10,
+                                seed=3)
+    R = golden.sample_covariance(golden.frame_samples(x, 2048, 0))
+    A = golden.ula_steering(np.linspace(0, 180, 721), 8, 0.5)
+    Rc = Cpx.from_complex(R)
+    Ac = Cpx.from_complex(A.astype(np.complex64))
+    V = cpx_ops.signal_subspace_embedded(Rc, 2, iters=16)
+    den32 = np.asarray(cpx_ops.music_denominator_subspace(V, Ac))
+    den8 = np.asarray(cpx_ops.music_denominator_subspace(
+        V, Ac, compute_dtype=jnp.int8))
+    # int8 is a COARSE mode: quantization noise (~0.1) fills the deep
+    # nulls, so verify peak NEIGHBORHOODS: every true angle has an int8
+    # local max within 1.5°, and the coarse spectrum tracks f32 globally.
+    assert np.abs(den8 - den32).max() < 0.2, np.abs(den8 - den32).max()
+    P8 = 1.0 / np.maximum(den8, 1e-2)
+    _, locs = find_local_max(jnp.asarray(P8), 4, 0.0, 180.0)
+    locs = np.asarray(locs)
+    for truth in (60.0, 110.0):
+        assert np.abs(locs - truth).min(axis=-1).max() < 1.5, locs
