@@ -104,6 +104,14 @@ def cmd_estimate(args):
         np.savez(args.spectra_out,
                  **{k: np.asarray(v) for k, v in res.spectra.items()})
         out["spectra_written"] = args.spectra_out
+    if args.report:
+        from doa_tpu.ops.steering import grid_angles_1d
+        from doa_tpu.utils.report import html_report
+
+        grid = (grid_angles_1d(cfg.grid)
+                if cfg.geometry.kind == "ula" else None)
+        html_report(args.report, res, cfg=cfg, grid_angles=grid)
+        out["report_written"] = args.report
     print(json.dumps(out))
 
 
@@ -202,6 +210,8 @@ def main(argv=None):
     pe.add_argument("--calib", default=None,
                     help="calibration artifact (.npz) to apply")
     pe.add_argument("--spectra-out", default=None)
+    pe.add_argument("--report", default=None,
+                    help="write a self-contained HTML report (plots + table)")
     pe.set_defaults(fn=cmd_estimate)
 
     pp = sub.add_parser("calibrate-phase",

@@ -34,6 +34,16 @@ def save_iq(path: str, x: np.ndarray, samp_rate: float = 1.0,
             json.dump(meta, f)
 
 
+def load_iq_channels(paths) -> np.ndarray:
+    """Assemble (T, N) from N single-channel raw complex64 files — the
+    layout a bank of per-channel GNU Radio file_sinks produces (one
+    `file_sink` per coherent stream). Channels are truncated to the
+    shortest file."""
+    chans = [np.fromfile(p, dtype=np.complex64) for p in paths]
+    T = min(len(c) for c in chans)
+    return np.stack([c[:T] for c in chans], axis=1)
+
+
 def load_iq(path: str, num_channels: Optional[int] = None) -> np.ndarray:
     """→ (T, N) complex64. For raw files the channel count comes from the
     sidecar json or the `num_channels` argument."""

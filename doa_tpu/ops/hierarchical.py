@@ -71,6 +71,95 @@ def refine_peaks_ula(V_emb, coarse_deg, norm_spacing: float,
     return t0 + delta * step
 
 
+def ura_denominator_at(V_emb, az_deg, el_deg, shape, norm_spacing: float):
+    """Exact MUSIC denominator at arbitrary (az, el) for a planar array.
+
+    V_emb: f32[B, 2N, 2K]; az_deg/el_deg: f32[B, ...] → den f32[B, ...].
+    Same direction-cosine model as ops.steering.ura_steering."""
+    nx, ny = shape
+    az = jnp.deg2rad(az_deg)
+    el = jnp.deg2rad(el_deg)
+    ux = jnp.cos(el) * jnp.sin(az)
+    uy = jnp.cos(el) * jnp.cos(az)
+    ix = jnp.arange(nx, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(ny, dtype=jnp.float32)[None, :]
+    phase = (-2.0 * jnp.pi * norm_spacing
+             * (ux[..., None, None] * ix + uy[..., None, None] * iy))
+    phase = phase.reshape(*az.shape, nx * ny)
+    at = jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+    Y = jnp.einsum("b...n,bnm->b...m", at, V_emb,
+                   preferred_element_type=jnp.float32)
+    return (nx * ny) - jnp.sum(Y * Y, axis=-1)
+
+
+def refine_peaks_ura(V_emb, az_deg, el_deg, shape, norm_spacing: float,
+                     half_width_deg: float = 2.0, num_points: int = 9):
+    """Per-peak 2-D refinement: micro-grid of the exact denominator around
+    each coarse (az, el) + separable parabolic minima.
+    az_deg/el_deg: f32[B, k] → (az f32[B, k], el f32[B, k])."""
+    W = num_points
+    offs = jnp.linspace(-half_width_deg, half_width_deg, W)
+    azg = az_deg[..., None, None] + offs[:, None]       # (B, k, W, 1)
+    elg = el_deg[..., None, None] + offs[None, :]       # (B, k, 1, W)
+    azg, elg = jnp.broadcast_arrays(azg, elg)           # (B, k, W, W)
+    den = ura_denominator_at(V_emb, azg, elg, shape, norm_spacing)
+    B, k = az_deg.shape
+    den_f = den.reshape(B, k, W * W)
+    i = jnp.argmin(den_f, axis=-1)
+    ia, ie = i // W, i % W
+    step = 2.0 * half_width_deg / (W - 1)
+
+    def parab(d_axis, idx):
+        Wn = d_axis.shape[-1]
+        im = jnp.clip(idx - 1, 0, Wn - 1)
+        ip = jnp.clip(idx + 1, 0, Wn - 1)
+        dm = jnp.take_along_axis(d_axis, im[..., None], -1)[..., 0]
+        d0 = jnp.take_along_axis(d_axis, idx[..., None], -1)[..., 0]
+        dp = jnp.take_along_axis(d_axis, ip[..., None], -1)[..., 0]
+        curv = dm - 2.0 * d0 + dp
+        delta = jnp.where(jnp.abs(curv) > 0, 0.5 * (dm - dp) / curv, 0.0)
+        return jnp.where((idx > 0) & (idx < Wn - 1),
+                         jnp.clip(delta, -1.0, 1.0), 0.0)
+
+    # az profile at the winning el column; el profile at the winning row.
+    den_az = jnp.take_along_axis(
+        den, ie[..., None, None].repeat(W, axis=-2), -1)[..., 0]
+    den_el = jnp.take_along_axis(
+        den, ia[..., None, None].repeat(W, axis=-1), -2)[..., 0, :]
+    da = parab(den_az, ia)
+    de = parab(den_el, ie)
+    az0 = jnp.take_along_axis(
+        azg.reshape(B, k, W * W), i[..., None], -1)[..., 0]
+    el0 = jnp.take_along_axis(
+        elg.reshape(B, k, W * W), i[..., None], -1)[..., 0]
+    return az0 + da * step, el0 + de * step
+
+
+def music_hierarchical_ura(V_emb, A_coarse: Cpx, num_peaks: int,
+                           shape, norm_spacing: float, grid2d,
+                           compute_dtype=jnp.float32,
+                           half_width_deg: float = 2.0,
+                           num_points: int = 9):
+    """Coarse→refine MUSIC for a planar array (2-D az/el).
+
+    grid2d: configs.GridSpec2D of the coarse scan.
+    → (peak_values f32[B, k], az f32[B, k], el f32[B, k])."""
+    from doa_tpu.ops.peaks import find_local_max_2d
+
+    den_c = cpx_ops.music_denominator_subspace(
+        V_emb, A_coarse, compute_dtype=compute_dtype)
+    den_c = jnp.maximum(den_c, 0.0)
+    P = 1.0 / jnp.maximum(den_c, jnp.finfo(jnp.float32).tiny)
+    P = P / jnp.max(P, axis=-1, keepdims=True)
+    P2 = P.reshape(P.shape[0], grid2d.num_az, grid2d.num_el)
+    vals, az_c, el_c = find_local_max_2d(
+        P2, num_peaks, (grid2d.az_lo_deg, grid2d.az_hi_deg),
+        (grid2d.el_lo_deg, grid2d.el_hi_deg), refine=False)
+    az, el = refine_peaks_ura(V_emb, az_c, el_c, shape, norm_spacing,
+                              half_width_deg, num_points)
+    return vals, az, el
+
+
 def music_hierarchical_ula(V_emb, A_coarse: Cpx, num_peaks: int,
                            norm_spacing: float,
                            coarse_rng=(0.0, 180.0),

@@ -100,11 +100,10 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 and (Estimator.MUSIC in cfg.estimators or want_root)):
             V_emb = cpx_ops.signal_subspace_embedded(
                 R, cfg.num_sources, iters=cfg.power_iters)
-        hier = (cfg.scan_mode == "hierarchical" and use_power
-                and cfg.geometry.kind == "ula")
+        hier = cfg.scan_mode == "hierarchical" and use_power
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
-                if hier:
+                if hier and cfg.geometry.kind == "ula":
                     from doa_tpu.ops.hierarchical import (
                         music_hierarchical_ula)
                     v, l = music_hierarchical_ula(
@@ -114,6 +113,16 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         compute_dtype=jnp.dtype(cfg.compute_dtype))
                     pvals[est.value] = v
                     pangs[est.value] = l
+                    continue
+                if hier and is_2d:
+                    from doa_tpu.ops.hierarchical import (
+                        music_hierarchical_ura)
+                    v, az, el = music_hierarchical_ura(
+                        V_emb, A, cfg.num_max_vals, cfg.geometry.shape,
+                        cfg.geometry.norm_spacing, cfg.grid2d,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
+                    pvals[est.value] = v
+                    pangs[est.value] = jnp.stack([az, el], axis=-1)
                     continue
                 if use_power:
                     den = cpx_ops.music_denominator_subspace(

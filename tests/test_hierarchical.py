@@ -85,3 +85,65 @@ def test_pipeline_hierarchical_mode():
     assert np.abs(r[:, 0] - 61.43).max() < 0.15, r
     assert np.abs(r[:, 1] - 108.91).max() < 0.15, r
     assert "music" not in res.spectra  # hierarchical skips dense spectrum
+
+
+def test_hierarchical_2d_ura():
+    from doa_tpu.configs import GridSpec2D
+    from doa_tpu.io import SourceSpec, synth_ura_iq
+    from doa_tpu.ops.hierarchical import music_hierarchical_ura
+    from doa_tpu.ops.steering import ura_grid
+    from doa_tpu.configs import ArrayGeometry
+
+    truths = [(-29.37, 21.52), (41.18, 54.77)]
+    geo = ArrayGeometry(kind="ura", num_elements=64, norm_spacing=0.5,
+                        shape=(8, 8))
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=truths[0][0], el_deg=truths[0][1],
+                    freq_norm=0.1),
+         SourceSpec(az_deg=truths[1][0], el_deg=truths[1][1],
+                    freq_norm=0.3)],
+        (8, 8), 0.5, 8 * 1024, snr_db=15, seed=0)
+    R = golden.sample_covariance(golden.frame_samples(x, 1024, 0))
+    V = cpx_ops.signal_subspace_embedded(Cpx.from_complex(R), 2, iters=16)
+    # coarse grid: 4 degrees spacing
+    g2 = GridSpec2D(num_az=46, num_el=24, az_lo_deg=-90, az_hi_deg=90,
+                    el_lo_deg=0, el_hi_deg=90)
+    A = Cpx.from_complex(ura_grid(geo, g2).astype(np.complex64))
+    vals, az, el = music_hierarchical_ura(V, A, 2, (8, 8), 0.5, g2)
+    az, el = np.asarray(az), np.asarray(el)
+    for b in range(az.shape[0]):
+        for k in range(2):
+            d = min(np.hypot(az[b, k] - t[0], el[b, k] - t[1])
+                    for t in truths)
+            assert d < 0.5, (az[b], el[b])
+
+
+def test_pipeline_hierarchical_2d():
+    import dataclasses
+    from doa_tpu.configs import (
+        ArrayGeometry, DoaConfig, Estimator, GridSpec2D)
+    from doa_tpu.io import SourceSpec, synth_ura_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ura", num_elements=64,
+                               norm_spacing=0.5, shape=(8, 8)),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid2d=GridSpec2D(num_az=46, num_el=24, az_lo_deg=-90,
+                          az_hi_deg=90, el_lo_deg=0, el_hi_deg=90),
+        num_max_vals=2, scan_mode="hierarchical")
+    truths = [(-29.37, 21.52), (41.18, 54.77)]
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=truths[0][0], el_deg=truths[0][1],
+                    freq_norm=0.1),
+         SourceSpec(az_deg=truths[1][0], el_deg=truths[1][1],
+                    freq_norm=0.3)],
+        (8, 8), 0.5, 8 * 1024, snr_db=15, seed=0)
+    res = build_pipeline_tpu(cfg)(x)
+    ang = np.asarray(res.peak_angles["music"])  # (B, 2, 2)
+    for b in range(ang.shape[0]):
+        for k in range(2):
+            d = min(np.hypot(ang[b, k, 0] - t[0], ang[b, k, 1] - t[1])
+                    for t in truths)
+            assert d < 0.5, ang[b]
