@@ -24,7 +24,6 @@ Two formulations:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -18,7 +18,6 @@ scans one fixed grid); this is the TPU-native superresolution path.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ precedent, SURVEY §2.2 F1).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from doa_tpu.ops.subspace import noise_subspace

@@ -14,13 +14,13 @@ blocks without gathering samples anywhere.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from doa_tpu.parallel.mesh import GRID_AXIS, SNAP_AXIS, MeshSpec
+from doa_tpu.parallel.mesh import SNAP_AXIS, MeshSpec
 
 
 @dataclasses.dataclass

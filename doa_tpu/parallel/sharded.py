@@ -20,7 +20,6 @@ slice to `num_valid_windows(T, cfg)`.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax

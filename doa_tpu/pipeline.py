@@ -14,8 +14,7 @@ parallelism comes from async dispatch + donated buffers, not threads.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

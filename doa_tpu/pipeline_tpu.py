@@ -9,7 +9,6 @@ the integration point for the Pallas kernels.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +129,19 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         compute_dtype=jnp.dtype(cfg.compute_dtype))
                 else:
                     if M is None:
-                        M = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
+                        if cfg.subspace_method == "jacobi":
+                            from doa_tpu.cpx import (
+                                embed_hermitian, unembed_hermitian)
+                            from doa_tpu.ops.jacobi import (
+                                subspace_projector_jacobi)
+                            N_eff = R.shape[-1]
+                            P_emb = subspace_projector_jacobi(
+                                embed_hermitian(R),
+                                2 * (N_eff - cfg.num_sources))
+                            M = unembed_hermitian(P_emb)
+                        else:
+                            M = cpx_ops.noise_projector_cpx(
+                                R, cfg.num_sources)
                     den = cpx_ops.music_denominator_cpx(
                         M, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
                 den = jnp.maximum(den, 0.0)

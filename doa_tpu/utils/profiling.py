@@ -14,7 +14,6 @@ first-class).
 from __future__ import annotations
 
 import contextlib
-import dataclasses
 import time
 from typing import Optional
 

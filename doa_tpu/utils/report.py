@@ -7,8 +7,6 @@ from __future__ import annotations
 import base64
 import html
 import io
-import json
-from typing import Optional
 
 import numpy as np
 

@@ -76,3 +76,18 @@ def test_pipeline_power_matches_eigh_end_to_end():
     np.testing.assert_allclose(
         np.asarray(r_p.root_music_angles),
         np.asarray(r_e.root_music_angles), atol=0.1)
+
+
+def test_pipeline_jacobi_matches_eigh():
+    base = PRESETS["c2_ula8_2src"]
+    cfg_e = dataclasses.replace(base, subspace_method="eigh")
+    cfg_j = dataclasses.replace(base, subspace_method="jacobi")
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1),
+         SourceSpec(theta_deg=110.0, freq_norm=0.31)],
+        8, 0.5, 8 * 2048, snr_db=10, seed=1)
+    r_e = build_pipeline_tpu(cfg_e)(x)
+    r_j = build_pipeline_tpu(cfg_j)(x)
+    np.testing.assert_allclose(
+        np.asarray(r_j.peak_angles["music"]),
+        np.asarray(r_e.peak_angles["music"]), atol=0.05)
