@@ -8,8 +8,15 @@ pipeline-parallelism analog, SURVEY §7.1).
 
 Reports sustained samples/s/channel incl ALL host costs, vs 10 Msps
 real-time. Prints one JSON line.
+
+CAVEAT (see docs/PERF.md): through the development relay this measures
+the tunnel's host→device bandwidth (~25 MB/s), not the machine —
+device-resident compute sustains ~192 Msamples/s/channel (bench.py). On
+directly-attached hardware the h2d path is PCIe-class and this benchmark
+reflects the true sustained streaming rate.
 """
 
+import argparse
 import json
 import time
 
@@ -17,7 +24,11 @@ import numpy as np
 
 
 def main():
-    import jax
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block", type=int, default=1 << 18,
+                    help="samples/channel per block")
+    ap.add_argument("--nblocks", type=int, default=8)
+    args = ap.parse_args()
 
     from doa_tpu.configs import (
         ArrayGeometry, DoaConfig, Estimator, GridSpec1D)
@@ -25,8 +36,8 @@ def main():
 
     N = 16
     SNAP, OVERLAP = 1024, 512
-    BLOCK = 1 << 21                      # 2.1M samples/channel per block
-    NBLOCKS = 8
+    BLOCK = args.block
+    NBLOCKS = args.nblocks
 
     cfg = DoaConfig(
         geometry=ArrayGeometry("ula", N, 0.5),
