@@ -29,8 +29,8 @@ def main():
     SNAP = 1024
     N = 16
     GRID = 1024
-    T = 1 << 23                      # 8.4M samples/channel per call
-    B = T // SNAP                    # 8192 snapshots per call
+    T = 1 << 24                      # 16.8M samples/channel per call
+    B = T // SNAP                    # 16384 snapshots per call
 
     cfg = DoaConfig(
         geometry=ArrayGeometry(kind="ula", num_elements=N,

@@ -99,6 +99,10 @@ def cmd_estimate(args):
         out["root_music"] = {
             "median_angles_deg": np.round(np.median(
                 np.asarray(res.root_music_angles), axis=0), 3).tolist()}
+    if res.esprit_angles is not None:
+        out["esprit"] = {
+            "median_angles_deg": np.round(np.median(
+                np.asarray(res.esprit_angles), axis=0), 3).tolist()}
     if args.spectra_out:
         np.savez(args.spectra_out,
                  **{k: np.asarray(v) for k, v in res.spectra.items()})

@@ -27,6 +27,7 @@ class Estimator(str, enum.Enum):
     MUSIC = "music"
     CAPON = "capon"          # Capon-MVDR — required by BASELINE north-star.
     ROOT_MUSIC = "root_music"
+    ESPRIT = "esprit"        # grid-free shift-invariance (beyond reference)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,146 @@
+"""ESPRIT for uniform linear arrays (grid-free, shift-invariance based).
+
+Beyond the reference (which ships MUSIC/root-MUSIC only) — rounds out the
+subspace-estimator family. Fully batched, complex-free-backend safe, and
+eig-free (JAX has no TPU `eig`):
+
+  1. complex signal subspace E_s: Cpx[B, N, K] by power iteration in
+     split-complex arithmetic (Newton-Schulz orthonormalization of the
+     K×K Gram — all Cpx matmuls);
+  2. LS solution of the shift-invariance equation
+         E_s[:-1] Ψ ≈ E_s[1:]
+     via the K×K normal equations, inverted with Newton-Schulz;
+  3. eigenvalues of the K×K non-Hermitian Ψ from its characteristic
+     polynomial (batched Faddeev-LeVerrier: c coefficients from traces of
+     powers) rooted with the existing Aberth-Ehrlich iterator;
+  4. θ = acos(−arg λ / (2π d)) — λ estimates z = exp(−j2πd cosθ).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from doa_tpu.cpx import Cpx
+from doa_tpu.ops.root_music import polynomial_roots_cpx
+
+
+def _mm(a: Cpx, b: Cpx) -> Cpx:
+    """Batched complex matmul on planes (B, m, k) @ (B, k, n)."""
+    es = lambda x, y: jnp.einsum(  # noqa: E731
+        "bik,bkj->bij", x, y, preferred_element_type=jnp.float32)
+    k1 = es(a.re, b.re + b.im)
+    k2 = es(a.re + a.im, b.im)
+    k3 = es(a.im - a.re, b.re)
+    return Cpx(k1 - k2, k1 + k3)
+
+
+def _herm(a: Cpx) -> Cpx:
+    return Cpx(jnp.swapaxes(a.re, -1, -2), -jnp.swapaxes(a.im, -1, -2))
+
+
+def _gram(a: Cpx) -> Cpx:
+    """AᴴA for A: Cpx (B, m, k) → (B, k, k) Hermitian."""
+    return _mm(_herm(a), a)
+
+
+def _eye_like(k: int, batch, dtype=jnp.float32) -> Cpx:
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), batch + (k, k))
+    return Cpx(eye, jnp.zeros_like(eye))
+
+
+def _ns_inverse(G: Cpx, iters: int = 16) -> Cpx:
+    """Newton-Schulz inverse of Hermitian PD G: Cpx (B, k, k):
+    X ← X(2I − GX), X₀ = I / max row-sum norm."""
+    k = G.shape[-1]
+    batch = G.shape[:-2]
+    mag = jnp.sqrt(G.re * G.re + G.im * G.im)
+    norm = jnp.max(jnp.sum(mag, axis=-1), axis=-1)
+    X = _eye_like(k, batch) * (1.0 / norm[..., None, None])
+    two_eye = _eye_like(k, batch) * 2.0
+    for _ in range(iters):
+        X = _mm(X, two_eye - _mm(G, X))
+    return X
+
+
+def signal_subspace_cpx(R: Cpx, num_sources: int, iters: int = 16) -> Cpx:
+    """Orthonormal COMPLEX signal basis E_s: Cpx[B, N, K] by subspace
+    iteration carried in split-complex arithmetic (no embedding — ESPRIT
+    needs a complex-paired basis, which the real embedded basis is not).
+
+    Orthonormalization: V ← V·G^{-1/2} with G = VᴴV via the coupled
+    Newton-Schulz square-root iteration on the K×K Hermitian Gram.
+    """
+    K = num_sources
+    V = Cpx(R.re[..., :, :K], R.im[..., :, :K])  # columns of R: in span
+
+    def orthonormalize(V: Cpx) -> Cpx:
+        G = _gram(V)
+        k = G.shape[-1]
+        batch = G.shape[:-2]
+        tr = jnp.trace(G.re, axis1=-2, axis2=-1)[..., None, None] / k
+        Gn = Cpx(G.re / tr, G.im / tr)
+        eye = _eye_like(k, batch)
+        Y, Z = Gn, eye
+        for _ in range(5):
+            T = (eye * 3.0 - _mm(Z, Y)) * 0.5
+            Y = _mm(Y, T)
+            Z = _mm(T, Z)
+        return _mm(V, Z) * (1.0 / jnp.sqrt(tr))
+
+    V = orthonormalize(V)
+    for i in range(iters):
+        V = _mm(R, V)
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            V = orthonormalize(V)
+        else:
+            norm = jnp.sqrt(jnp.sum(V.re * V.re + V.im * V.im, axis=-2,
+                                    keepdims=True))
+            V = Cpx(V.re / jnp.maximum(norm, 1e-30),
+                    V.im / jnp.maximum(norm, 1e-30))
+    return V
+
+
+def _char_poly_coeffs(Psi: Cpx):
+    """Characteristic polynomial of Ψ: Cpx (B, K, K) by Faddeev-LeVerrier.
+
+    Returns ascending coefficients Cpx (B, K+1) of
+    p(λ) = λ^K + c_{K-1} λ^{K-1} + ... + c_0 (monic)."""
+    K = Psi.shape[-1]
+    batch = Psi.shape[:-2]
+    eye = _eye_like(K, batch)
+    coeffs = []  # c_{K-1}, c_{K-2}, ... c_0
+    Mk = eye
+    for k in range(1, K + 1):
+        AM = _mm(Psi, Mk)
+        tr = Cpx(jnp.trace(AM.re, axis1=-2, axis2=-1),
+                 jnp.trace(AM.im, axis1=-2, axis2=-1))
+        ck = tr * (-1.0 / k)
+        coeffs.append(ck)
+        # Mk+1 = Ψ·Mk + c_k I  (eye is real identity)
+        Mk = AM + Cpx(eye.re * ck.re[..., None, None],
+                      eye.re * ck.im[..., None, None])
+    # ascending: [c_0, c_1, ..., c_{K-1}, 1]
+    asc = coeffs[::-1]
+    ones = Cpx(jnp.ones(batch + (1,)), jnp.zeros(batch + (1,)))
+    re = jnp.stack([c.re for c in asc], axis=-1)
+    im = jnp.stack([c.im for c in asc], axis=-1)
+    return Cpx(jnp.concatenate([re, ones.re], -1),
+               jnp.concatenate([im, ones.im], -1))
+
+
+def esprit_cpx(R: Cpx, num_sources: int, norm_spacing: float,
+               subspace_iters: int = 16, root_iters: int = 40):
+    """LS-ESPRIT: R: Cpx[B, N, N] → DoA f32[B, K] degrees, ascending."""
+    Es = signal_subspace_cpx(R, num_sources, iters=subspace_iters)
+    Es1 = Cpx(Es.re[:, :-1, :], Es.im[:, :-1, :])
+    Es2 = Cpx(Es.re[:, 1:, :], Es.im[:, 1:, :])
+    G = _gram(Es1)                      # (B, K, K) Hermitian PD
+    Ginv = _ns_inverse(G)
+    Psi = _mm(Ginv, _mm(_herm(Es1), Es2))
+    coeffs = _char_poly_coeffs(Psi)
+    lam = polynomial_roots_cpx(coeffs, num_iters=root_iters)  # (B, K)
+    cos_theta = jnp.clip(-lam.angle() / (2 * jnp.pi * norm_spacing),
+                         -1.0, 1.0)
+    theta = jnp.rad2deg(jnp.arccos(cos_theta))
+    return jnp.sort(theta, axis=-1)

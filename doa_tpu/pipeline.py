@@ -37,6 +37,7 @@ class DoaResult:
     peak_values: Dict[str, jax.Array]    # estimator → f32[B, num_max_vals]
     peak_angles: Dict[str, jax.Array]    # estimator → f32[B, num_max_vals] deg
     root_music_angles: Optional[jax.Array] = None  # f32[B, K] deg
+    esprit_angles: Optional[jax.Array] = None      # f32[B, K] deg
     covariance: Optional[jax.Array] = None         # c64[B, N', N']
 
 

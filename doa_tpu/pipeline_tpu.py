@@ -162,9 +162,15 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             root_angles = root_music_cpx(
                 R, cfg.num_sources, cfg.geometry.norm_spacing,
                 noise_proj=nproj)
+        esprit_angles = None
+        if Estimator.ESPRIT in cfg.estimators:
+            from doa_tpu.ops.esprit import esprit_cpx
+            esprit_angles = esprit_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
         return dict(
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
+            esprit_angles=esprit_angles,
             covariance=(R.re, R.im) if return_covariance else None,
         )
 
