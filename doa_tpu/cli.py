@@ -164,6 +164,18 @@ def cmd_calibrate_elements(args):
         "phases_rad": np.round(np.angle(c_avg), 4).tolist()}))
 
 
+def cmd_evaluate(args):
+    from doa_tpu.eval import evaluate_ula
+
+    cfg = _config(args)
+    truth = [float(a) for a in args.angles.split(",")]
+    snrs = [float(s) for s in args.snrs.split(",")]
+    results = evaluate_ula(cfg, truth, snrs, trials=args.trials,
+                           windows_per_trial=args.windows)
+    for r in results:
+        print(json.dumps(r.to_dict()))
+
+
 def cmd_track(args):
     from doa_tpu.io import load_iq
     from doa_tpu.pipeline_tpu import build_pipeline_tpu
@@ -237,6 +249,15 @@ def main(argv=None):
                     help="stage-1 artifact to apply first")
     pc.add_argument("--out", required=True)
     pc.set_defaults(fn=cmd_calibrate_elements)
+
+    pv = sub.add_parser("evaluate",
+                        help="Monte-Carlo RMSE/resolution vs SNR")
+    _add_common(pv)
+    pv.add_argument("--angles", default="60,110")
+    pv.add_argument("--snrs", default="0,5,10,20")
+    pv.add_argument("--trials", type=int, default=4)
+    pv.add_argument("--windows", type=int, default=8)
+    pv.set_defaults(fn=cmd_evaluate)
 
     pt = sub.add_parser("track", help="estimate + track moving emitters")
     _add_common(pt)

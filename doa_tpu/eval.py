@@ -1,0 +1,114 @@
+"""Monte-Carlo accuracy evaluation — the quantitative version of the
+reference's by-eye simulation check (SURVEY §4), and the BASELINE
+"DoA RMSE (deg)" metric.
+
+Runs trials across SNRs for any estimator set; each trial synthesizes a
+fresh capture, runs the fused pipeline, matches estimates to truth by
+nearest-neighbor, and accumulates errors. RMSE + bias + resolution
+probability per (estimator, SNR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from doa_tpu.configs import DoaConfig, Estimator
+from doa_tpu.io import SourceSpec, synth_ula_iq
+from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+
+@dataclasses.dataclass
+class EvalResult:
+    snr_db: float
+    estimator: str
+    rmse_deg: float
+    bias_deg: float
+    resolve_prob: float      # fraction of windows resolving ALL sources
+    num_windows: int
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+def _match_errors(est: np.ndarray, truth: np.ndarray,
+                  gate_deg: float = 5.0):
+    """est: (B, K') estimates, truth: (K,) → (errors list, resolved bools).
+
+    Greedy nearest matching truth→estimate; a window 'resolves' if every
+    true angle has a distinct estimate within gate_deg."""
+    B = est.shape[0]
+    errs: List[float] = []
+    resolved = np.zeros(B, bool)
+    for b in range(B):
+        cand = list(est[b])
+        ok = True
+        row = []
+        for t in truth:
+            if not cand:
+                ok = False
+                break
+            d = np.abs(np.asarray(cand) - t)
+            j = int(np.argmin(d))
+            if d[j] > gate_deg:
+                ok = False
+                break
+            row.append(cand.pop(j) - t)
+        if ok:
+            errs.extend(row)
+            resolved[b] = True
+    return np.asarray(errs), resolved
+
+
+def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
+                 snrs_db: Sequence[float], trials: int = 4,
+                 windows_per_trial: int = 8,
+                 seed: int = 0) -> List[EvalResult]:
+    """Monte-Carlo sweep. Returns one EvalResult per (SNR, estimator)."""
+    pipe = build_pipeline_tpu(cfg)
+    truth = np.asarray(truth_deg, float)
+    K = len(truth)
+    T = windows_per_trial * cfg.snapshot_size
+    results = []
+    for snr in snrs_db:
+        per_est: Dict[str, List[np.ndarray]] = {}
+        res_count: Dict[str, List[np.ndarray]] = {}
+        nwin = 0
+        for tr in range(trials):
+            srcs = [SourceSpec(theta_deg=t, freq_norm=0.05 + 0.09 * i)
+                    for i, t in enumerate(truth)]
+            x = synth_ula_iq(srcs, cfg.geometry.num_elements,
+                             cfg.geometry.norm_spacing, T, snr_db=snr,
+                             seed=seed * 1000 + tr * 17 + int(snr * 3))
+            out = pipe(x)
+            nwin += windows_per_trial
+            cand: Dict[str, np.ndarray] = {
+                est: np.asarray(a) for est, a in out.peak_angles.items()}
+            if out.root_music_angles is not None:
+                cand["root_music"] = np.asarray(out.root_music_angles)
+            if out.esprit_angles is not None:
+                cand["esprit"] = np.asarray(out.esprit_angles)
+            for est, a in cand.items():
+                e, r = _match_errors(a, truth)
+                per_est.setdefault(est, []).append(e)
+                res_count.setdefault(est, []).append(r)
+        for est in per_est:
+            errs = np.concatenate(per_est[est]) if per_est[est] else (
+                np.asarray([]))
+            res = np.concatenate(res_count[est])
+            results.append(EvalResult(
+                snr_db=float(snr), estimator=est,
+                rmse_deg=float(np.sqrt(np.mean(errs ** 2)))
+                if errs.size else float("nan"),
+                bias_deg=float(np.mean(errs)) if errs.size else float("nan"),
+                resolve_prob=float(np.mean(res)),
+                num_windows=int(nwin)))
+    return results
+
+
+def print_table(results: List[EvalResult]):
+    for r in results:
+        print(json.dumps(r.to_dict()))

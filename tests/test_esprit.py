@@ -73,3 +73,22 @@ def test_esprit_in_pipeline():
     e = np.asarray(res.esprit_angles)
     assert np.abs(e[:, 0] - 60.0).max() < 0.5, e
     assert np.abs(e[:, 1] - 110.0).max() < 0.5, e
+
+
+def test_eval_harness_rmse():
+    import dataclasses
+
+    from doa_tpu import PRESETS
+    from doa_tpu.configs import Estimator
+    from doa_tpu.eval import evaluate_ula
+
+    cfg = dataclasses.replace(
+        PRESETS["c2_ula8_2src"],
+        estimators=(Estimator.MUSIC, Estimator.ROOT_MUSIC))
+    results = evaluate_ula(cfg, [60.0, 110.0], snrs_db=[10.0], trials=2,
+                           windows_per_trial=4)
+    by_est = {r.estimator: r for r in results}
+    # BASELINE bound: ≤0.5° at 10 dB SNR.
+    assert by_est["music"].rmse_deg < 0.5, by_est["music"]
+    assert by_est["music"].resolve_prob == 1.0
+    assert by_est["root_music"].rmse_deg < 0.5, by_est["root_music"]
