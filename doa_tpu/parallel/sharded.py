@@ -74,7 +74,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
         A = Cpx(Ar, Ai)
         V_emb = None
-        if use_power and Estimator.MUSIC in cfg.estimators:
+        if use_power and (Estimator.MUSIC in cfg.estimators
+                          or Estimator.ROOT_MUSIC in cfg.estimators):
             V_emb = cpx_ops.signal_subspace_embedded(
                 R, cfg.num_sources, iters=cfg.power_iters)
         out = {}
@@ -104,6 +105,19 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             out[f"spectrum_{est.value}"] = P_full
             out[f"peak_values_{est.value}"] = v
             out[f"peak_angles_{est.value}"] = l
+        if Estimator.ROOT_MUSIC in cfg.estimators:
+            from doa_tpu.ops.root_music import root_music_cpx
+
+            nproj = (cpx_ops.noise_projector_from_signal(V_emb)
+                     if V_emb is not None else None)
+            out["root_music_angles"] = root_music_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing,
+                noise_proj=nproj)
+        if Estimator.ESPRIT in cfg.estimators:
+            from doa_tpu.ops.esprit import esprit_cpx
+
+            out["esprit_angles"] = esprit_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
         return out
 
     out_specs = {}
@@ -112,6 +126,10 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             out_specs[f"spectrum_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_angles_{est.value}"] = P(SNAP_AXIS, None)
+    if Estimator.ROOT_MUSIC in cfg.estimators:
+        out_specs["root_music_angles"] = P(SNAP_AXIS, None)
+    if Estimator.ESPRIT in cfg.estimators:
+        out_specs["esprit_angles"] = P(SNAP_AXIS, None)
 
     mapped = jax.shard_map(
         shard_fn,

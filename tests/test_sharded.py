@@ -91,3 +91,17 @@ def test_distributed_covariance_matches_full():
 def test_num_valid_windows():
     assert num_valid_windows(16384, CFG) == (16384 - 512) // 256 + 1
     assert num_valid_windows(100, CFG) == 0
+
+
+def test_sharded_gridfree_estimators():
+    cfg = dataclasses.replace(
+        CFG, estimators=(Estimator.MUSIC, Estimator.ROOT_MUSIC,
+                         Estimator.ESPRIT))
+    x = _capture()
+    mesh = make_mesh(MeshSpec(4, 2))
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    for key in ("root_music_angles", "esprit_angles"):
+        a = np.asarray(out[key])[:B_valid]
+        assert np.abs(a[:, 0] - 62.0).max() < 0.5, (key, a)
+        assert np.abs(a[:, 1] - 117.0).max() < 0.5, (key, a)
