@@ -64,6 +64,22 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     if G % n_grid:
         raise ValueError(f"grid size {G} not divisible by n_grid {n_grid}")
     use_power = cfg.subspace_method == "power"
+    is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+
+    def _peaks(P_full):
+        """Peaks on the gathered spectrum row: 1-D angles or (az, el)."""
+        if is_2d:
+            from doa_tpu.ops.peaks import find_local_max_2d
+
+            g2 = cfg.grid2d
+            P2 = P_full.reshape(P_full.shape[0], g2.num_az, g2.num_el)
+            v, az, el = find_local_max_2d(
+                P2, cfg.num_max_vals,
+                (g2.az_lo_deg, g2.az_hi_deg),
+                (g2.el_lo_deg, g2.el_hi_deg), refine=refine_peaks)
+            return v, jnp.stack([az, el], axis=-1)
+        return find_local_max(P_full, cfg.num_max_vals, x_rng[0],
+                              x_rng[1], refine=refine_peaks)
 
     def shard_fn(xr, xi, cr, ci, Ar, Ai):
         x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
@@ -100,12 +116,12 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
                                         tiled=True)
             P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
-            v, l = find_local_max(P_full, cfg.num_max_vals, x_rng[0],
-                                  x_rng[1], refine=refine_peaks)
+            v, l = _peaks(P_full)
             out[f"spectrum_{est.value}"] = P_full
             out[f"peak_values_{est.value}"] = v
             out[f"peak_angles_{est.value}"] = l
-        if Estimator.ROOT_MUSIC in cfg.estimators:
+        if (Estimator.ROOT_MUSIC in cfg.estimators
+                and cfg.geometry.kind == "ula"):
             from doa_tpu.ops.root_music import root_music_cpx
 
             nproj = (cpx_ops.noise_projector_from_signal(V_emb)
@@ -113,7 +129,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             out["root_music_angles"] = root_music_cpx(
                 R, cfg.num_sources, cfg.geometry.norm_spacing,
                 noise_proj=nproj)
-        if Estimator.ESPRIT in cfg.estimators:
+        if (Estimator.ESPRIT in cfg.estimators
+                and cfg.geometry.kind == "ula"):
             from doa_tpu.ops.esprit import esprit_cpx
 
             out["esprit_angles"] = esprit_cpx(
@@ -126,9 +143,11 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             out_specs[f"spectrum_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_angles_{est.value}"] = P(SNAP_AXIS, None)
-    if Estimator.ROOT_MUSIC in cfg.estimators:
+    if (Estimator.ROOT_MUSIC in cfg.estimators
+            and cfg.geometry.kind == "ula"):
         out_specs["root_music_angles"] = P(SNAP_AXIS, None)
-    if Estimator.ESPRIT in cfg.estimators:
+    if (Estimator.ESPRIT in cfg.estimators
+            and cfg.geometry.kind == "ula"):
         out_specs["esprit_angles"] = P(SNAP_AXIS, None)
 
     mapped = jax.shard_map(

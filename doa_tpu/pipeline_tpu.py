@@ -41,7 +41,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     A_host, x_rng = _steering_matrix(cfg)
     A_re = np.ascontiguousarray(A_host.real.astype(np.float32))
     A_im = np.ascontiguousarray(A_host.imag.astype(np.float32))
-    want_root = Estimator.ROOT_MUSIC in cfg.estimators
+    want_root = (Estimator.ROOT_MUSIC in cfg.estimators
+                 and cfg.geometry.kind == "ula")
     is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
 
     wb = cfg.wideband.enabled
@@ -163,7 +164,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 R, cfg.num_sources, cfg.geometry.norm_spacing,
                 noise_proj=nproj)
         esprit_angles = None
-        if Estimator.ESPRIT in cfg.estimators:
+        if (Estimator.ESPRIT in cfg.estimators
+                and cfg.geometry.kind == "ula"):
             from doa_tpu.ops.esprit import esprit_cpx
             esprit_angles = esprit_cpx(
                 R, cfg.num_sources, cfg.geometry.norm_spacing)

@@ -105,3 +105,34 @@ def test_sharded_gridfree_estimators():
         a = np.asarray(out[key])[:B_valid]
         assert np.abs(a[:, 0] - 62.0).max() < 0.5, (key, a)
         assert np.abs(a[:, 1] - 117.0).max() < 0.5, (key, a)
+
+
+def test_sharded_2d_planar():
+    from doa_tpu.configs import ArrayGeometry, GridSpec2D
+    from doa_tpu.io import synth_ura_iq
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ura", num_elements=64,
+                               norm_spacing=0.5, shape=(8, 8)),
+        snapshot_size=512, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid2d=GridSpec2D(num_az=44, num_el=24, az_lo_deg=-90,
+                          az_hi_deg=90, el_lo_deg=0, el_hi_deg=90),
+        num_max_vals=2)
+    truths = [(-30.0, 20.0), (40.0, 55.0)]
+    from doa_tpu.io import SourceSpec
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=truths[0][0], el_deg=truths[0][1],
+                    freq_norm=0.1),
+         SourceSpec(az_deg=truths[1][0], el_deg=truths[1][1],
+                    freq_norm=0.3)],
+        (8, 8), 0.5, 8 * 512, snr_db=10, seed=0)
+    mesh = make_mesh(MeshSpec(4, 2))
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    ang = np.asarray(out["peak_angles_music"])  # (B, 2, 2)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    for b in range(B_valid):
+        for k in range(2):
+            d = min(np.hypot(ang[b, k, 0] - t[0], ang[b, k, 1] - t[1])
+                    for t in truths)
+            assert d < 5.0, ang[b]
