@@ -33,8 +33,26 @@ from doa_tpu import configs
 from doa_tpu.configs import (
     ArrayGeometry,
     DoaConfig,
+    Estimator,
     PRESETS,
 )
+
+
+def build_pipeline_tpu(*args, **kwargs):
+    """Lazy re-export of doa_tpu.pipeline_tpu.build_pipeline_tpu
+    (the production split-complex pipeline)."""
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu as f
+
+    return f(*args, **kwargs)
+
+
+def estimate_doa(*args, **kwargs):
+    """Lazy re-export of doa_tpu.pipeline.estimate_doa (one-shot
+    convenience on the complex/CPU path)."""
+    from doa_tpu.pipeline import estimate_doa as f
+
+    return f(*args, **kwargs)
+
 
 __version__ = "0.1.0"
 
@@ -42,6 +60,9 @@ __all__ = [
     "configs",
     "ArrayGeometry",
     "DoaConfig",
+    "Estimator",
     "PRESETS",
+    "build_pipeline_tpu",
+    "estimate_doa",
     "__version__",
 ]

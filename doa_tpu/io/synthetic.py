@@ -100,6 +100,42 @@ def synth_ula_iq(
                                  channel_phases)
 
 
+def synth_moving_ula_iq(
+    trajectories,
+    num_elements: int,
+    norm_spacing: float,
+    num_samples: int,
+    snr_db: float = 10.0,
+    seed: int = 0,
+    segment: int = 1024,
+) -> np.ndarray:
+    """Moving-emitter capture (BASELINE config 4: sliding-window tracking).
+
+    `trajectories`: list of callables t01 ∈ [0, 1] → theta_deg (or
+    (theta0, theta1) tuples for linear motion). Steering is updated every
+    `segment` samples — valid while motion per segment ≪ beamwidth, which
+    holds for any physical emitter at SDR sample rates.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_samples)
+    k = np.arange(num_elements)
+    clean = np.zeros((num_samples, num_elements), dtype=np.complex128)
+    for i, traj in enumerate(trajectories):
+        if isinstance(traj, tuple):
+            th0, th1 = traj
+            traj = lambda u, a=th0, b=th1: a + (b - a) * u
+        f = 0.05 + 0.09 * i
+        wave = np.exp(1j * (2 * np.pi * f * t
+                            + rng.uniform(0, 2 * np.pi)))
+        for s0 in range(0, num_samples, segment):
+            s1 = min(s0 + segment, num_samples)
+            u = 0.5 * (s0 + s1) / num_samples
+            theta = np.deg2rad(float(traj(u)))
+            a = np.exp(-1j * 2 * np.pi * norm_spacing * np.cos(theta) * k)
+            clean[s0:s1] += np.outer(wave[s0:s1], a)
+    return _add_noise_and_impair(clean, snr_db, rng)
+
+
 def synth_wideband_ula_iq(
     sources: Sequence[SourceSpec],
     num_elements: int,
