@@ -150,6 +150,20 @@ class DoaConfig:
             raise ValueError("need 0 <= overlap < snapshot_size")
         if self.num_sources >= self.effective_num_elements:
             raise ValueError("num_sources must be < effective array size")
+        if self.subspace_method not in ("power", "eigh", "jacobi"):
+            raise ValueError(
+                f"subspace_method {self.subspace_method!r} not one of "
+                "'power' | 'eigh' | 'jacobi'")
+        if self.scan_mode not in ("dense", "hierarchical"):
+            raise ValueError(
+                f"scan_mode {self.scan_mode!r} not 'dense' | 'hierarchical'")
+        if self.compute_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"compute_dtype {self.compute_dtype!r} not one of "
+                "'float32' | 'bfloat16' | 'int8'")
+        # NOTE: irregular overlap (hop not dividing snapshot_size) is legal
+        # here — the complex/CPU path frames it explicitly; the zero-copy
+        # cpx/TPU path raises at build time if asked for it.
 
     @property
     def hop(self) -> int:

@@ -74,3 +74,24 @@ def test_estimate_report(tmp_path, capsys):
     assert r["report_written"] == rep
     data = open(rep).read()
     assert "base64" in data and "music" in data
+
+
+def test_config_validation_errors():
+    import dataclasses
+
+    import pytest
+
+    from doa_tpu.configs import DoaConfig
+
+    with pytest.raises(ValueError, match="subspace_method"):
+        DoaConfig(subspace_method="qr")
+    with pytest.raises(ValueError, match="scan_mode"):
+        DoaConfig(scan_mode="fine")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        DoaConfig(compute_dtype="fp8")
+    with pytest.raises(ValueError, match="overlap"):
+        DoaConfig(snapshot_size=256, overlap=256)
+    with pytest.raises(ValueError, match="num_sources"):
+        DoaConfig(num_sources=4)
+    # irregular overlap is legal at config level (complex path frames it)
+    DoaConfig(snapshot_size=256, overlap=100)
