@@ -65,10 +65,12 @@ def html_report(path: str, result, cfg=None, true_angles=None,
                else np.median(a, axis=0))
         parts.append(f"<tr><td>{est}</td>"
                      f"<td>{np.round(med, 3).tolist()}</td></tr>")
-    if result.root_music_angles is not None:
-        med = np.median(np.asarray(result.root_music_angles), axis=0)
-        parts.append(f"<tr><td>root_music</td>"
-                     f"<td>{np.round(med, 3).tolist()}</td></tr>")
+    for name in ("root_music_angles", "esprit_angles"):
+        arr = getattr(result, name, None)
+        if arr is not None:
+            med = np.median(np.asarray(arr), axis=0)
+            parts.append(f"<tr><td>{name[:-7]}</td>"
+                         f"<td>{np.round(med, 3).tolist()}</td></tr>")
     parts.append("</table></body></html>")
     with open(path, "w") as f:
         f.write("\n".join(parts))
