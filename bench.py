@@ -13,12 +13,18 @@ Prints exactly one JSON line.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _run(T: int) -> float:
+    """→ snapshots/s for a T-samples-per-call pipeline."""
     import jax
     import jax.numpy as jnp
 
@@ -29,8 +35,7 @@ def main():
     SNAP = 1024
     N = 16
     GRID = 1024
-    T = 1 << 24                      # 16.8M samples/channel per call
-    B = T // SNAP                    # 16384 snapshots per call
+    B = T // SNAP
 
     cfg = DoaConfig(
         geometry=ArrayGeometry(kind="ula", num_elements=N,
@@ -46,7 +51,8 @@ def main():
     Ar, Ai = pipe.steering_planes
 
     # Device-resident synthetic planes (content irrelevant for throughput;
-    # use random so eigh sees generic Hermitian matrices).
+    # random so eigh/subspace see generic Hermitian matrices).
+    _log(f"generating device data T=2^{T.bit_length() - 1}")
     key = jax.random.key(0)
     kr, ki = jax.random.split(key)
     xr = jax.random.normal(kr, (T, N), jnp.float32)
@@ -61,17 +67,27 @@ def main():
         # roundtrip is the only trustworthy completion fence.
         return np.asarray(out["peak_angles"]["music"])
 
-    one_call()  # compile + warm
+    _log("compiling + warming")
+    one_call()
     one_call()
 
+    _log("timing")
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         one_call()
     dt = time.perf_counter() - t0
+    return B * iters / dt
 
-    snaps_per_s = B * iters / dt
-    realtime = 10e6 / SNAP           # snapshots/s to keep up with 10 Msps
+
+def main():
+    SNAP = 1024
+    try:
+        snaps_per_s = _run(1 << 24)        # 16.8M samples/channel per call
+    except Exception as e:                  # e.g. OOM on smaller devices
+        _log(f"T=2^24 failed ({type(e).__name__}); retrying at 2^22")
+        snaps_per_s = _run(1 << 22)
+    realtime = 10e6 / SNAP                  # snapshots/s at 10 Msps
     print(json.dumps({
         "metric": "cov_eigh_music_snapshots_per_s_per_chip_16el",
         "value": round(snaps_per_s, 1),
