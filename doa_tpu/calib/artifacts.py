@@ -39,7 +39,14 @@ class CalibrationArtifact:
         return c
 
 
+def _norm_path(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize the same
+    way on save AND load so round-trips work with any path spelling."""
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
 def save_calibration(path: str, art: CalibrationArtifact):
+    path = _norm_path(path)
     meta = {
         "version": art.version,
         "num_elements": art.num_elements,
@@ -57,7 +64,7 @@ def save_calibration(path: str, art: CalibrationArtifact):
 
 
 def load_calibration(path: str) -> CalibrationArtifact:
-    with np.load(path) as z:
+    with np.load(_norm_path(path)) as z:
         meta = json.loads(str(z["meta"]))
         if meta["version"] > ARTIFACT_VERSION:
             raise ValueError(

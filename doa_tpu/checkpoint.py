@@ -35,7 +35,14 @@ class StreamState:
     version: int = CHECKPOINT_VERSION
 
 
+def _norm_path(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize the same
+    way on save AND load so round-trips work with any path spelling."""
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
 def save_stream_state(path: str, st: StreamState):
+    path = _norm_path(path)
     arrays = {"meta": json.dumps({
         "version": st.version,
         "samples_processed": int(st.samples_processed),
@@ -57,7 +64,7 @@ def save_stream_state(path: str, st: StreamState):
 
 
 def load_stream_state(path: str) -> StreamState:
-    with np.load(path) as z:
+    with np.load(_norm_path(path)) as z:
         meta = json.loads(str(z["meta"]))
         if meta["version"] > CHECKPOINT_VERSION:
             raise ValueError(

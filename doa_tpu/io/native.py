@@ -22,12 +22,25 @@ _DEFAULT_THREADS = min(8, os.cpu_count() or 1)
 
 
 def _build_and_load():
+    # The .so is never committed (gitignored): it is always built locally.
+    # A sidecar stamp records that THIS machine built it — a binary that
+    # appeared any other way (copied checkout, container image) is rebuilt
+    # rather than trusted, so a foreign-microarch binary can't SIGILL the
+    # hot ingest path. -march=native is safe under that invariant.
     so_path = os.path.join(os.path.dirname(_SRC), "libdoaframer.so")
-    if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+    stamp = so_path + ".stamp"
+    stamp_want = f"{os.uname().machine}:{os.uname().nodename}"
+    fresh = (os.path.exists(so_path) and os.path.exists(stamp)
+             and os.path.getmtime(so_path) >= os.path.getmtime(_SRC))
+    if fresh:
+        with open(stamp) as f:
+            fresh = f.read().strip() == stamp_want
+    if not fresh:
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                "-o", so_path, _SRC, "-lpthread"]
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(stamp, "w") as f:
+            f.write(stamp_want)
     lib = ctypes.CDLL(so_path)
     fp = ctypes.POINTER(ctypes.c_float)
     lib.doa_split_c64.argtypes = [fp, fp, fp, ctypes.c_int64, ctypes.c_int]

@@ -52,7 +52,7 @@ def cov_windows_pallas(x: Cpx, snapshot_size: int, overlap: int,
     G = pl.pallas_call(
         functools.partial(_cov_kernel, snap=S, hop=hop),
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # stays in HBM
         out_specs=pl.BlockSpec((1, 2 * N, 2 * N), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2 * N, 2 * N), jnp.float32),

@@ -103,12 +103,12 @@ def ura_grid(geometry: ArrayGeometry, grid: GridSpec2D) -> np.ndarray:
     return np.exp(1j * phase).reshape(len(az), nx * ny).astype(np.complex64)
 
 
-def wideband_steering_scale(norm_spacing: float, subband_norm_freq):
-    """Effective normalized spacing per subband for wideband scans.
-
-    For a subband at normalized frequency f (relative to the carrier where
-    norm_spacing = d/λ_c is defined), the electrical spacing scales as
-    d/λ = norm_spacing * (1 + f): steering phases stretch with frequency.
-    Used by the wideband channelizer path (BASELINE config 5).
+def wideband_steering_scale(norm_spacing: float, subband_norm_freq,
+                            fractional_bw: float):
+    """Effective normalized spacing for a subband at normalized baseband
+    frequency f ∈ [-0.5, 0.5): d/λ = norm_spacing·(1 + f·fractional_bw),
+    where fractional_bw = samp_rate / carrier_freq — the same model as
+    ops.wideband.wideband_steering_stack and io.synthetic wideband synth.
     """
-    return norm_spacing * (1.0 + jnp.asarray(subband_norm_freq))
+    return norm_spacing * (
+        1.0 + jnp.asarray(subband_norm_freq) * fractional_bw)

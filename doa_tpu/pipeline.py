@@ -84,6 +84,7 @@ def compute_covariances(x, cfg: DoaConfig):
 
 def _spectra_and_peaks(R, A, cfg: DoaConfig, x_rng, refine: bool):
     spectra, pvals, pangs = {}, {}, {}
+    is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
     for est in cfg.estimators:
         if est == Estimator.MUSIC:
             P = music_spectrum(R, A, cfg.num_sources)
@@ -93,8 +94,21 @@ def _spectra_and_peaks(R, A, cfg: DoaConfig, x_rng, refine: bool):
             continue  # grid-free; handled separately
         else:  # pragma: no cover
             raise ValueError(est)
-        v, l = find_local_max(P, cfg.num_max_vals, x_rng[0], x_rng[1],
-                              refine=refine)
+        if is_2d:
+            # Same (az, el)-degrees output as pipeline_tpu (never raw
+            # flattened bin indices — identical units on both paths).
+            from doa_tpu.ops.peaks import find_local_max_2d
+
+            g2 = cfg.grid2d
+            P2 = P.reshape(P.shape[0], g2.num_az, g2.num_el)
+            v, az, el = find_local_max_2d(
+                P2, cfg.num_max_vals,
+                (g2.az_lo_deg, g2.az_hi_deg), (g2.el_lo_deg, g2.el_hi_deg),
+                refine=refine)
+            l = jnp.stack([az, el], axis=-1)
+        else:
+            v, l = find_local_max(P, cfg.num_max_vals, x_rng[0], x_rng[1],
+                                  refine=refine)
         spectra[est.value] = P
         pvals[est.value] = v
         pangs[est.value] = l

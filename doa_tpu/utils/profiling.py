@@ -59,9 +59,14 @@ class Timer:
 
 def throughput_report(seconds_per_call: float, snapshots_per_call: int,
                       snapshot_size: int, num_channels: int,
-                      samp_rate: Optional[float] = None) -> dict:
+                      samp_rate: Optional[float] = None,
+                      hop: Optional[int] = None) -> dict:
+    """samples/s counts each INPUT sample once: with overlapped windows a
+    snapshot advances the stream by `hop` samples (hop = S − overlap), not
+    by snapshot_size — pass `hop` for overlapped configs or samples/s,
+    ingest bytes/s and x_realtime over-count by S/hop."""
     snaps_s = snapshots_per_call / seconds_per_call
-    samples_s = snaps_s * snapshot_size
+    samples_s = snaps_s * (hop if hop is not None else snapshot_size)
     rep = {
         "snapshots_per_s": snaps_s,
         "samples_per_s_per_channel": samples_s,

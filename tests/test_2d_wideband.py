@@ -118,3 +118,45 @@ def test_config5_preset_end_to_end():
     for k in range(2):
         d = min(np.hypot(med[k, 0] - t[0], med[k, 1] - t[1]) for t in truth)
         assert d < 6.0, med
+
+
+def test_pipeline_complex_path_ura_peaks_in_degrees():
+    """ADVICE r1: the complex/CPU path must report (az, el) DEGREES for
+    ura configs — same units as pipeline_tpu, never flat bin indices."""
+    from doa_tpu.pipeline import build_pipeline
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ura", num_elements=16, norm_spacing=0.5,
+                               shape=(4, 4)),
+        snapshot_size=256,
+        num_sources=1,
+        estimators=(Estimator.MUSIC,),
+        grid2d=GridSpec2D(num_az=61, num_el=31),
+        num_max_vals=1,
+    )
+    truth = (-20.0, 40.0)
+    x = synth_ura_iq([SourceSpec(az_deg=truth[0], el_deg=truth[1],
+                                 freq_norm=0.2)],
+                     (4, 4), 0.5, 4 * 256, snr_db=15, seed=3)
+    res = build_pipeline(cfg)(x)
+    ang = np.asarray(res.peak_angles["music"])
+    assert ang.shape[-1] == 2  # (az, el) pairs
+    assert np.all(np.abs(ang[..., 0] - truth[0]) < 4.0)
+    assert np.all(np.abs(ang[..., 1] - truth[1]) < 4.0)
+    # exact same units as the TPU path
+    res_t = build_pipeline_tpu(cfg)(x)
+    ang_t = np.asarray(res_t.peak_angles["music"])
+    np.testing.assert_allclose(ang, ang_t, atol=0.2)
+
+
+def test_wideband_steering_scale_matches_stack_model():
+    """ADVICE r1: the exported helper must agree with the d·(1+f·fbw)
+    model used by wideband_steering_stack / the wideband synth."""
+    from doa_tpu.ops.steering import wideband_steering_scale
+    from doa_tpu.ops.wideband import subband_center_freqs
+
+    fbw = 0.1
+    d = 0.5
+    freqs = subband_center_freqs(8)
+    got = np.asarray(wideband_steering_scale(d, freqs, fbw))
+    np.testing.assert_allclose(got, d * (1.0 + freqs * fbw), rtol=1e-6)

@@ -147,3 +147,26 @@ def test_config4_end_to_end_moving_emitters():
         errs = np.nanmin(
             np.abs(tracks[tail] - truth[tail, None]), axis=1)
         assert np.nanmean(errs) < 1.5, np.nanmean(errs)
+
+
+def test_checkpoint_roundtrip_extensionless_path(tmp_path):
+    """ADVICE r1: save/load must agree on '.npz' normalization."""
+    from doa_tpu.checkpoint import (
+        StreamState, load_stream_state, save_stream_state)
+
+    p = str(tmp_path / "state_no_ext")     # no .npz extension
+    save_stream_state(p, StreamState(samples_processed=77))
+    st = load_stream_state(p)
+    assert st.samples_processed == 77
+
+
+def test_calibration_roundtrip_extensionless_path(tmp_path):
+    from doa_tpu.calib.artifacts import (
+        CalibrationArtifact, load_calibration, save_calibration)
+
+    art = CalibrationArtifact(
+        phase_offsets=np.array([0.0, 0.1], np.float32), num_elements=2)
+    p = str(tmp_path / "calib_no_ext")
+    save_calibration(p, art)
+    art2 = load_calibration(p)
+    np.testing.assert_allclose(art2.phase_offsets, art.phase_offsets)
