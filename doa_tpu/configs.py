@@ -142,8 +142,17 @@ class DoaConfig:
     # MUSIC scan strategy: "dense" scans the full grid; "hierarchical"
     # (ULA + power path only) runs a coarse grid scan then refines each
     # peak on an on-device micro-grid — resolution beyond the grid at a
-    # fraction of the flops (ops.hierarchical).
+    # fraction of the flops (ops.hierarchical); "pallas" (power path
+    # only) runs the fused lane-packed Pallas scan kernel
+    # (ops.pallas.music_scan) — no (B, G, 2K) intermediate in HBM.
     scan_mode: str = "dense"
+    # Covariance chunk-Gram implementation: "auto" picks the Pallas
+    # kernel on TPU backends and XLA elsewhere; "xla" | "pallas" force.
+    cov_impl: str = "auto"
+    # Gram input precision: "bfloat16" quarters the MXU pass count of the
+    # covariance stage (f32 accumulation; ~3 decimal digits on R entries
+    # — fine above threshold SNR, see docs/ACCURACY.md).
+    cov_dtype: str = "float32"
 
     def __post_init__(self):
         if not (0 <= self.overlap < self.snapshot_size):
@@ -154,13 +163,24 @@ class DoaConfig:
             raise ValueError(
                 f"subspace_method {self.subspace_method!r} not one of "
                 "'power' | 'eigh' | 'jacobi'")
-        if self.scan_mode not in ("dense", "hierarchical"):
+        if self.scan_mode not in ("dense", "hierarchical", "pallas"):
             raise ValueError(
-                f"scan_mode {self.scan_mode!r} not 'dense' | 'hierarchical'")
+                f"scan_mode {self.scan_mode!r} not one of "
+                "'dense' | 'hierarchical' | 'pallas'")
+        if self.scan_mode == "pallas" and self.subspace_method != "power":
+            raise ValueError(
+                "scan_mode='pallas' scans the signal subspace directly "
+                "and requires subspace_method='power'")
         if self.compute_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
                 f"compute_dtype {self.compute_dtype!r} not one of "
                 "'float32' | 'bfloat16' | 'int8'")
+        if self.cov_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"cov_impl {self.cov_impl!r} not 'auto' | 'xla' | 'pallas'")
+        if self.cov_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")
         # NOTE: irregular overlap (hop not dividing snapshot_size) is legal
         # here — the complex/CPU path frames it explicitly; the zero-copy
         # cpx/TPU path raises at build time if asked for it.

@@ -1,16 +1,22 @@
-"""Pallas TPU kernel: overlapped-window stacked-Gram covariance.
+"""Pallas TPU kernels: stacked-Gram covariance from raw sample planes.
 
-One program per window b: DMA the (S, 2N) slice of the stacked planes
-Z = [Xr | Xi] starting at the hop-strided offset b·hop (BlockSpec index
-maps can only express block-multiple offsets, so the slice is fetched with
-an explicit async copy), then a single MXU Gram ZᵀZ → the (2N, 2N) block
-G_b written straight to the output — chunk partial sums never exist in
-HBM, and the complex planes fall out of G's quadrants on the XLA side
-(see cpx_ops.chunk_grams_cpx for the block identity).
+Two kernels:
 
-For overlap ≤ S/2 this re-reads at most 2× the stream — still far under
-HBM bandwidth for this op's arithmetic intensity (S multiply-adds per
-loaded element).
+* `chunk_grams_pallas` — the PRODUCTION path (hop-aligned windows, i.e.
+  hop | snapshot_size). Grid over chunk groups with plain BlockSpecs, so
+  Mosaic double-buffers the HBM→VMEM streams automatically; the re/im
+  planes are read ONCE and stacked Z = [Xr | Xi] in VMEM. The XLA
+  equivalent (cpx_ops.chunk_grams_cpx) must materialize the stacked copy
+  in HBM first: one extra full write + read of the stream (measured
+  13.4 ms → the whole covariance budget at the headline config).
+  Optional bf16 Gram (f32 accumulation): 4× MXU rate — the Gram's 32-wide
+  output tiles run at ~6% MXU utilization in f32, so the stage is
+  MXU-pass-bound, not bandwidth-bound, and bf16 quarters the pass count.
+
+* `cov_windows_pallas` — irregular overlap (any 0 ≤ overlap < S): one
+  program per window with an explicit hop-strided async copy (BlockSpec
+  index maps can only express block-multiple offsets). Re-reads ≤ S/hop×
+  the stream; used only when hop does not divide snapshot_size.
 """
 
 from __future__ import annotations
@@ -23,6 +29,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from doa_tpu.cpx import Cpx
+
+
+def _chunk_kernel(xr_ref, xi_ref, rr_ref, ri_ref, *, hop: int, cb: int,
+                  compute_dtype):
+    N = xr_ref.shape[-1]
+    for c in range(cb):                       # static unroll: cb chunks
+        sl = slice(c * hop, (c + 1) * hop)
+        z = jnp.concatenate([xr_ref[sl, :], xi_ref[sl, :]], axis=-1)
+        if compute_dtype != jnp.float32:
+            z = z.astype(compute_dtype)
+        g = jax.lax.dot_general(
+            z, z, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (2N, 2N)
+        rr_ref[c] = g[:N, :N] + g[N:, N:]
+        ri_ref[c] = g[N:, :N] - g[:N, N:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hop", "compute_dtype", "chunks_per_block",
+                              "interpret"))
+def chunk_grams_pallas(x: Cpx, hop: int, compute_dtype=jnp.float32,
+                       chunks_per_block: int = 8,
+                       interpret: bool = False) -> Cpx:
+    """x: Cpx[T, N] → unnormalized per-chunk Grams Cpx[T//hop, N, N].
+
+    Drop-in for cpx_ops.chunk_grams_cpx (cumsum window combination and
+    normalization happen in XLA on the N²-sized results)."""
+    T, N = x.shape
+    n = T // hop
+    cb = chunks_per_block
+    while n % cb:
+        cb //= 2
+    cb = max(cb, 1)
+
+    rr, ri = pl.pallas_call(
+        functools.partial(_chunk_kernel, hop=hop, cb=cb,
+                          compute_dtype=compute_dtype),
+        grid=(n // cb,),
+        in_specs=[
+            pl.BlockSpec((cb * hop, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb * hop, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cb, N, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, N, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((n, N, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x.re[: n * hop], x.im[: n * hop])
+    return Cpx(rr, ri)
 
 
 def _cov_kernel(z_hbm, out_ref, scratch, sem, *, snap: int, hop: int):
@@ -42,11 +105,25 @@ def _cov_kernel(z_hbm, out_ref, scratch, sem, *, snap: int, hop: int):
 def cov_windows_pallas(x: Cpx, snapshot_size: int, overlap: int,
                        interpret: bool = False) -> Cpx:
     """x: Cpx[T, N] → R: Cpx[B, N, N] (normalized by S), windows at every
-    hop = S − overlap offset — reference autocorrelate semantics."""
+    hop = S − overlap offset — reference autocorrelate semantics.
+
+    hop | S → pipelined chunk-Gram kernel + sliding window sums (the
+    production path); otherwise the strided manual-DMA kernel below."""
     S = snapshot_size
     hop = S - overlap
     T, N = x.shape
     B = 0 if T < S else (T - S) // hop + 1
+    if S % hop == 0:
+        C = chunk_grams_pallas(x, hop, interpret=interpret)
+        n_win = S // hop
+
+        def win(plane):
+            csum = jnp.concatenate(
+                [jnp.zeros((1, N, N), plane.dtype),
+                 jnp.cumsum(plane, axis=0)], axis=0)
+            return (csum[n_win : n_win + B] - csum[:B]) / S
+
+        return Cpx(win(C.re), win(C.im))
     Z = jnp.concatenate([x.re, x.im], axis=-1)         # (T, 2N)
 
     G = pl.pallas_call(

@@ -17,6 +17,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _topk_lastaxis(masked, k: int):
+    """top-k along the last axis: (vals, idx) each (B, k).
+
+    For the small k of peak extraction (1–4) this runs k argmax+mask
+    rounds — plain VPU reductions — instead of `lax.top_k`, which lowers
+    to a full variadic sort on TPU (measured: the sort dominated the
+    whole peaks stage). Falls back to top_k for larger k.
+    """
+    if k > 4:
+        return jax.lax.top_k(masked, k)
+    neg_inf = jnp.array(-jnp.inf, masked.dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
+    vals, idxs = [], []
+    m = masked
+    for _ in range(k):
+        i = jnp.argmax(m, axis=-1, keepdims=True)          # (B, 1)
+        vals.append(jnp.take_along_axis(m, i, axis=-1))
+        idxs.append(i)
+        m = jnp.where(iota == i, neg_inf, m)
+    return (jnp.concatenate(vals, axis=-1),
+            jnp.concatenate(idxs, axis=-1))
+
+
 def find_local_max(P, num_max_vals: int, x_min: float, x_max: float,
                    refine: bool = False):
     """P: (B, G) → (values, locations) each (B, num_max_vals).
@@ -34,10 +57,10 @@ def find_local_max(P, num_max_vals: int, x_min: float, x_max: float,
         (P[:, 1:-1] > P[:, :-2]) & (P[:, 1:-1] >= P[:, 2:])
     )
     masked = jnp.where(is_max, P, neg_inf)
-    vals, idx = jax.lax.top_k(masked, num_max_vals)
+    vals, idx = _topk_lastaxis(masked, num_max_vals)
 
-    gval = jnp.max(P, axis=-1, keepdims=True)
     gidx = jnp.argmax(P, axis=-1, keepdims=True)
+    gval = jnp.take_along_axis(P, gidx, axis=-1)
     have_any = jnp.isfinite(vals[:, 0:1])
     best_val = jnp.where(have_any, vals[:, 0:1], gval)
     best_idx = jnp.where(have_any, idx[:, 0:1], gidx)
@@ -55,14 +78,18 @@ def find_local_max(P, num_max_vals: int, x_min: float, x_max: float,
 
 def _refine_frac(P, idx, G):
     """idx + sub-bin offset from reciprocal-space parabolic interpolation
-    along the last axis of P. Returns float (same shape as idx)."""
+    along the last axis of P. Returns float (same shape as idx).
+
+    The reciprocal is taken on the three GATHERED points, never on the
+    whole array (a full-array 1/P materialized (B, G) twice for the sake
+    of 3·k values per row)."""
     im = jnp.clip(idx - 1, 0, G - 1)
     ip = jnp.clip(idx + 1, 0, G - 1)
     tiny = jnp.finfo(P.dtype).tiny
-    Q = 1.0 / jnp.maximum(P, tiny)
-    qm = jnp.take_along_axis(Q, im, axis=-1)
-    q0 = jnp.take_along_axis(Q, idx, axis=-1)
-    qp = jnp.take_along_axis(Q, ip, axis=-1)
+    recip = lambda v: 1.0 / jnp.maximum(v, tiny)  # noqa: E731
+    qm = recip(jnp.take_along_axis(P, im, axis=-1))
+    q0 = recip(jnp.take_along_axis(P, idx, axis=-1))
+    qp = recip(jnp.take_along_axis(P, ip, axis=-1))
     denom = qm - 2.0 * q0 + qp
     delta = jnp.where(jnp.abs(denom) > 0, 0.5 * (qm - qp) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
@@ -90,10 +117,10 @@ def find_local_max_2d(P, num_max_vals: int,
     )
     is_max = is_max.at[:, 1:-1, 1:-1].set(core)
     flat = jnp.where(is_max, P, neg_inf).reshape(B, Ga * Ge)
-    vals, idx = jax.lax.top_k(flat, num_max_vals)
+    vals, idx = _topk_lastaxis(flat, num_max_vals)
 
-    gval = jnp.max(P.reshape(B, -1), axis=-1, keepdims=True)
     gidx = jnp.argmax(P.reshape(B, -1), axis=-1, keepdims=True)
+    gval = jnp.take_along_axis(P.reshape(B, -1), gidx, axis=-1)
     have_any = jnp.isfinite(vals[:, 0:1])
     best_val = jnp.where(have_any, vals[:, 0:1], gval)
     best_idx = jnp.where(have_any, idx[:, 0:1], gidx)

@@ -82,10 +82,15 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                               x_rng[1], refine=refine_peaks)
 
     def shard_fn(xr, xi, cr, ci, Ar, Ai):
-        x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
-        x = Cpx(_halo_exchange(x.re, overlap, SNAP_AXIS),
-                _halo_exchange(x.im, overlap, SNAP_AXIS))
-        R = cpx_ops.cov_from_stream_cpx(x, S, overlap, fb_average=fb)
+        x = Cpx(_halo_exchange(xr, overlap, SNAP_AXIS),
+                _halo_exchange(xi, overlap, SNAP_AXIS))
+        # Correction folded into R ((c cᴴ) ∘ R, exact — see
+        # cpx_ops.apply_correction_to_cov) BEFORE FB/smoothing: two fewer
+        # full passes over the time-sharded sample planes per device.
+        R = cpx_ops.cov_from_stream_cpx(x, S, overlap, fb_average=False)
+        R = cpx_ops.apply_correction_to_cov(R, Cpx(cr, ci))
+        if fb:
+            R = cpx_ops.forward_backward_cpx(R)
         if cfg.smoothing.enabled:
             R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
         A = Cpx(Ar, Ai)

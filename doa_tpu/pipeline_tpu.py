@@ -22,10 +22,38 @@ from doa_tpu.ops.root_music import root_music_cpx
 from doa_tpu.pipeline import DoaResult, _steering_fn, _steering_matrix
 
 
-def compute_covariances_cpx(x: Cpx, cfg: DoaConfig) -> Cpx:
-    fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
-    R = cpx_ops.cov_from_stream_cpx(x, cfg.snapshot_size, cfg.overlap,
-                                    fb_average=fb)
+def _resolve_impl(cfg: DoaConfig):
+    """→ (cov_impl, interpret): Pallas kernels compile natively on TPU
+    backends and run in interpreter mode elsewhere (tests); cov_impl
+    'auto' avoids the interpreter's overhead by picking XLA off-TPU."""
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+    cov_impl = cfg.cov_impl
+    if cov_impl == "auto":
+        cov_impl = "pallas" if on_tpu else "xla"
+    return cov_impl, not on_tpu
+
+
+def compute_covariances_cpx(x: Cpx, cfg: DoaConfig,
+                            correction: Cpx | None = None,
+                            cov_impl: str = "xla",
+                            interpret: bool = False) -> Cpx:
+    """Covariance windows with the calibration correction FOLDED INTO R
+    ((c cᴴ) ∘ R — exact, see cpx_ops.apply_correction_to_cov) instead of
+    scaling the T×N sample stream: saves two full passes over the input
+    at the headline config. Order matters: correction → FB averaging →
+    spatial smoothing, matching the reference chain."""
+    import jax.numpy as _jnp
+
+    R = cpx_ops.cov_from_stream_cpx(
+        x, cfg.snapshot_size, cfg.overlap, fb_average=False,
+        impl=cov_impl, cov_dtype=_jnp.dtype(cfg.cov_dtype),
+        interpret=interpret)
+    if correction is not None:
+        R = cpx_ops.apply_correction_to_cov(R, correction)
+    if cfg.avg_method == AvgMethod.FORWARD_BACKWARD:
+        R = cpx_ops.forward_backward_cpx(R)
     if cfg.smoothing.enabled:
         R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
     return R
@@ -44,6 +72,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     want_root = (Estimator.ROOT_MUSIC in cfg.estimators
                  and cfg.geometry.kind == "ula")
     is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+    cov_impl, interp = _resolve_impl(cfg)
 
     wb = cfg.wideband.enabled
     if wb:
@@ -77,12 +106,12 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
 
     @jax.jit
     def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
-        x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
         A = Cpx(Ar, Ai)
         spectra, pvals, pangs = {}, {}, {}
         root_angles = None
         if wb:
             from doa_tpu.ops.wideband import wideband_music_cpx
+            x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
             Wr, Wi, Asr, Asi = wb_extra
             P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg)
             v, l = _peaks(P)
@@ -92,7 +121,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             return dict(spectra=spectra, peak_values=pvals,
                         peak_angles=pangs, root_music_angles=None,
                         covariance=None)
-        R = compute_covariances_cpx(x, cfg)
+        R = compute_covariances_cpx(Cpx(xr, xi), cfg,
+                                    correction=Cpx(cr, ci),
+                                    cov_impl=cov_impl, interpret=interp)
         use_power = cfg.subspace_method == "power"
         M = None
         V_emb = None
@@ -123,6 +154,18 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         compute_dtype=jnp.dtype(cfg.compute_dtype))
                     pvals[est.value] = v
                     pangs[est.value] = jnp.stack([az, el], axis=-1)
+                    continue
+                if cfg.scan_mode == "pallas":
+                    from doa_tpu.cpx import embed_vector
+                    from doa_tpu.ops.pallas.music_scan import (
+                        music_scan_pallas)
+                    P = music_scan_pallas(V_emb, embed_vector(A),
+                                          interpret=interp)
+                    P = P / jnp.max(P, axis=-1, keepdims=True)
+                    v, l = _peaks(P)
+                    spectra[est.value] = P
+                    pvals[est.value] = v
+                    pangs[est.value] = l
                     continue
                 if use_power:
                     den = cpx_ops.music_denominator_subspace(

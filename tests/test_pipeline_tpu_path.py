@@ -69,3 +69,45 @@ def test_tpu_path_correction_vector():
     np.testing.assert_allclose(
         np.asarray(tpu.peak_angles["music"]),
         np.asarray(ref.peak_angles["music"]), atol=0.05)
+
+
+def test_tpu_path_pallas_production_modes():
+    """scan_mode='pallas' + cov_impl='pallas' (interpreter on CPU) must
+    match the default XLA TPU path bit-for-bit at peak level."""
+    cfg = PRESETS["c2_ula8_2src"]
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1),
+         SourceSpec(theta_deg=110.0, freq_norm=0.31)],
+        8, 0.5, 8 * 2048, snr_db=10, seed=1)
+    base = build_pipeline_tpu(cfg)(x)
+    pal = build_pipeline_tpu(dataclasses.replace(
+        cfg, scan_mode="pallas", cov_impl="pallas"))(x)
+    np.testing.assert_allclose(
+        np.asarray(pal.peak_angles["music"]),
+        np.asarray(base.peak_angles["music"]), atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(pal.spectra["music"]),
+        np.asarray(base.spectra["music"]), rtol=5e-3, atol=5e-4)
+
+
+def test_tpu_path_pallas_cov_overlap_bf16():
+    """Pallas cov with sliding windows + bf16 Gram: angles within grid
+    tolerance of the f32 XLA path."""
+    cfg = dataclasses.replace(
+        PRESETS["c4_ula16_streaming"], cov_impl="pallas",
+        cov_dtype="bfloat16")
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=75.0, freq_norm=0.12),
+         SourceSpec(theta_deg=120.0, freq_norm=0.3)],
+        16, 0.5, 16 * 1024, snr_db=10, seed=3)
+    ref = build_pipeline_tpu(PRESETS["c4_ula16_streaming"])(x)
+    pal = build_pipeline_tpu(cfg)(x)
+    np.testing.assert_allclose(
+        np.asarray(pal.peak_angles["music"]),
+        np.asarray(ref.peak_angles["music"]), atol=0.3)
+
+
+def test_pallas_scan_requires_power():
+    with pytest.raises(ValueError):
+        dataclasses.replace(PRESETS["c1_ula4_tone"], scan_mode="pallas",
+                            subspace_method="eigh")
