@@ -183,7 +183,14 @@ def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 16,
     signal eigenvalues well above noise even at 0 dB SNR, so 16 iterations
     reach f32 projector accuracy; raise `iters` for threshold-SNR work.
     """
-    E = embed_hermitian(R)                       # (B, 2N, 2N)
+    return signal_subspace_from_E(embed_hermitian(R), num_sources,
+                                  iters=iters, ns_iters=ns_iters)
+
+
+def signal_subspace_from_E(E, num_sources: int, iters: int = 16,
+                           ns_iters: int = 5):
+    """As signal_subspace_embedded but from pre-embedded E: f32[B,2N,2N]
+    (e.g. the fused covariance kernel's output)."""
     K2 = 2 * num_sources
     V = E[..., :, :K2]                           # in the column span of R
 

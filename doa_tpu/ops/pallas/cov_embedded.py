@@ -1,0 +1,216 @@
+"""Fused interleaved-ingest covariance kernel: raw IQ → embedded E(R).
+
+THE production covariance path. Three insights compound here:
+
+1. **Interleaved-128 ingest layout.** A C-ordered complex64 capture
+   (T, N) is, byte-for-byte, the f32 sequence
+   [t0c0.re, t0c0.im, t0c1.re, …] — so for 2N·TPACK = 128
+   (TPACK = 128//2N time-steps per row) the RAW RECEIVER BUFFER
+   reinterpreted as f32[T/TPACK, 128] is already a perfectly
+   lane-aligned TPU array: zero host preprocessing (no re/im
+   deinterleave), zero HBM padding (split planes f32[T, 16] pad 8× in
+   VMEM), one full-bandwidth read.
+
+2. **Full-lane Gram.** The 128-wide row Gram Zᵀ Z (contraction T/TPACK)
+   runs the MXU at full lane utilization; its TPACK diagonal (2N, 2N)
+   blocks sum to the per-chunk Gram U = Σ_t u_t u_tᵀ of the interleaved
+   real sample vectors. Off-diagonal blocks cost TPACK× extra flops but
+   the op is ~16× more MXU-efficient than a (hop, 2N)-shaped Gram
+   (measured: 12.3 ms → ~2 ms at the headline config), leaving the
+   stage bandwidth-bound at full f32 precision — no bf16 compromise
+   needed.
+
+3. **Algebraic fusion.** With P the interleaved→planar permutation and
+   Jp = [[0, −I], [I, 0]]:  E(R) = Ũ + Jp Ũ Jpᵀ,  Ũ = P U Pᵀ —
+   so the kernel emits the EMBEDDED covariance E(R): f32[B, 2N, 2N]
+   directly (what the subspace stage consumes), with the calibration
+   correction ((c cᴴ) ∘ R), forward-backward averaging, and 1/S
+   normalization all applied to the (2N, 2N) tiles in VMEM. Nothing
+   else ever touches the sample stream.
+
+Reference semantics: autocorrelate (SURVEY §2.1 C1) — snapshot windows,
+overlap via hop-aligned chunks (window sums combined in XLA), optional
+FB averaging; antenna_correction (C5) folded per the covariance
+identity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def interleave_factor(N: int) -> int:
+    """Time-steps per 128-lane row (1 when 2N ≥ 128)."""
+    return max(1, 128 // (2 * N))
+
+
+def to_interleaved(re, im):
+    """Split planes f32[T, N] → interleaved rows f32[T/TPACK, 2N·TPACK].
+
+    Library-path converter (one XLA relayout pass). The native ingest
+    path skips this entirely: a raw c64 buffer IS this layout
+    (io.native.as_interleaved)."""
+    T, N = re.shape
+    tp = interleave_factor(N)
+    u = jnp.stack([re, im], axis=-1).reshape(T, 2 * N)
+    return u.reshape(T // tp, 2 * N * tp)
+
+
+def _blockdiag_np(block: np.ndarray, n: int) -> np.ndarray:
+    r, c = block.shape
+    out = np.zeros((n * r, n * c), block.dtype)
+    for i in range(n):
+        out[i * r:(i + 1) * r, i * c:(i + 1) * c] = block
+    return out
+
+
+def _perm_interleaved_to_planar(N: int) -> np.ndarray:
+    """(2N, 2N) permutation P with (P u)[planar] = u[interleaved]:
+    planar row c ← interleaved row 2c (re), planar row N+c ← 2c+1."""
+    P = np.zeros((2 * N, 2 * N), np.float32)
+    for c in range(N):
+        P[c, 2 * c] = 1.0
+        P[N + c, 2 * c + 1] = 1.0
+    return P
+
+
+def _cov_kernel(z_ref, mask_ref, ps_ref, bdpst_ref, jp_ref, bdjt_ref,
+                fb2_ref, bdfb_ref, wre_ref, wim_ref, e_ref, *, N: int,
+                hop: int,
+                tp: int, cb: int, fb: bool, scale: float,
+                compute_dtype):
+    """Per program: cb chunk Grams (full-lane MXU), then the
+    interleaved→planar→embedded transform as a handful of PROGRAM-WIDE
+    matmuls on the horizontal chunk stack (static block-diagonal right
+    factors) — per-chunk small ops measured as the dominant cost of the
+    naive version."""
+    f32 = jnp.float32
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    rows = hop // tp
+    n2 = 2 * N
+    mask = mask_ref[...]
+    Us = []
+    for c in range(cb):
+        z = z_ref[c * rows:(c + 1) * rows, :]
+        if compute_dtype != f32:
+            z = z.astype(compute_dtype)
+        U = jax.lax.dot_general(                     # (width, width)
+            z, z, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        Us.append(U * mask)          # keep time-diagonal 2N×2N blocks
+    H = jnp.concatenate(Us, axis=1)                  # (width, cb·width)
+    # Σ_i (P uᵢ)(P uᵢ)ᵀ per chunk: PS = P·[I;…;I]ᵀ folds the diagonal-
+    # block sum and the planar reorder into two stacked matmuls.
+    Y = dot(ps_ref[...], H)                          # (2N, cb·width)
+    Ut = dot(Y, bdpst_ref[...]) * scale              # (2N, cb·2N) = Ũs
+    # E(R) = Ũ + Jp Ũ Jpᵀ  (per chunk; right factor block-diagonal)
+    E = Ut + dot(jp_ref[...], dot(Ut, bdjt_ref[...]))
+    # correction (c cᴴ)∘R on E: E ← E∘M1 + rollN(E)∘M2
+    Wre = wre_ref[...]
+    Wim = wim_ref[...]
+    M1 = jnp.concatenate([jnp.concatenate([Wre, Wre], 1)] * 2, 0)
+    M2 = jnp.concatenate([jnp.concatenate([-Wim, -Wim], 1),
+                          jnp.concatenate([Wim, Wim], 1)], 0)
+    M1s = jnp.concatenate([M1] * cb, axis=1)
+    M2s = jnp.concatenate([M2] * cb, axis=1)
+    rolled = jnp.concatenate([E[N:, :], E[:N, :]], axis=0)
+    E = E * M1s + rolled * M2s
+    if fb:
+        # FB: ½(E + Fb E Fb), Fb = blockdiag(F, F), F the exchange
+        # matrix (flip2(X) = F·X·F, and Fb is symmetric)
+        E = 0.5 * (E + dot(fb2_ref[...], dot(E, bdfb_ref[...])))
+    for c in range(cb):
+        e_ref[c] = E[:, c * n2:(c + 1) * n2]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "N", "snapshot_size", "overlap", "fb", "compute_dtype",
+    "chunks_per_block", "interpret"))
+def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
+                        overlap: int = 0, fb: bool = False,
+                        compute_dtype=jnp.float32,
+                        chunks_per_block: int = 8,
+                        interpret: bool = False):
+    """xil: f32[T/TPACK, 2N·TPACK] interleaved rows; cr/ci: f32[N]
+    correction → E(R) windows f32[B, 2N, 2N] (normalized by S,
+    correction + optional FB folded). Requires hop % TPACK == 0 and
+    hop | S (reference hop-aligned overlap)."""
+    S = snapshot_size
+    hop = S - overlap
+    tp = interleave_factor(N)
+    if hop % tp or S % hop:
+        raise ValueError("need TPACK | hop and hop | snapshot_size")
+    Trows, width = xil.shape
+    assert width == 2 * N * tp
+    T = Trows * tp
+    n = T // hop
+    B = 0 if T < S else (T - S) // hop + 1
+    n_win = S // hop
+    cb = chunks_per_block
+    while n % cb:
+        cb //= 2
+    cb = max(cb, 1)
+
+    # Correction pattern W = c cᴴ (applied pre-FB, matching C5's slot;
+    # for the overlap path correction/FB are linear in R so folding them
+    # into chunks before the window sum is exact).
+    W = (cr[:, None] * cr[None, :] + ci[:, None] * ci[None, :],
+         ci[:, None] * cr[None, :] - cr[:, None] * ci[None, :])
+
+    n2 = 2 * N
+    Pm = _perm_interleaved_to_planar(N)
+    S_all = np.concatenate([np.eye(n2, dtype=np.float32)] * tp, axis=0)
+    PS = Pm @ S_all.T                                    # (2N, width)
+    BDPSt = _blockdiag_np(PS.T, cb)                      # (cb·w, cb·2N)
+    mask = _blockdiag_np(np.ones((n2, n2), np.float32), tp)
+    Jp = np.zeros((n2, n2), np.float32)
+    Jp[:N, N:] = -np.eye(N)
+    Jp[N:, :N] = np.eye(N)
+    BDJt = _blockdiag_np(Jp.T, cb)
+    # E(J conj(R) J) = Fc E Fc with Fc = blockdiag(F, −F): the −F on
+    # the imag half carries the conjugation (blockdiag(F, F) flips
+    # without conjugating — wrong FB).
+    F = np.eye(N, dtype=np.float32)[::-1]
+    Fb = np.zeros((n2, n2), np.float32)
+    Fb[:N, :N] = F
+    Fb[N:, N:] = -F
+    BDFb = _blockdiag_np(Fb, cb)
+
+    const = lambda a: pl.BlockSpec(  # noqa: E731
+        a.shape, lambda i: tuple(0 for _ in a.shape),
+        memory_space=pltpu.VMEM)
+    consts = [jnp.asarray(a) for a in
+              (mask, PS, BDPSt, Jp, BDJt, Fb, BDFb)]
+    rows = hop // tp
+    E = pl.pallas_call(
+        functools.partial(_cov_kernel, N=N, hop=hop, tp=tp, cb=cb,
+                          fb=fb, scale=1.0 / S,
+                          compute_dtype=compute_dtype),
+        grid=(n // cb,),
+        in_specs=[
+            pl.BlockSpec((cb * rows, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[const(a) for a in consts],
+            pl.BlockSpec((N, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, n2, n2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n2, n2), jnp.float32),
+        interpret=interpret,
+    )(xil[: (n * hop) // tp], *consts, W[0], W[1])
+
+    if n_win == 1:
+        return E[:B]
+    csum = jnp.concatenate(
+        [jnp.zeros((1,) + E.shape[1:], E.dtype), jnp.cumsum(E, axis=0)],
+        axis=0)
+    return csum[n_win: n_win + B] - csum[:B]

@@ -70,15 +70,29 @@ def music_scan_pallas(V_emb, At_emb, nrm=None, *, block_b: int = 0,
     [ar; ai] per row); nrm: f32[G] = ‖a_g‖² (computed if None) →
     P: f32[B, G] (unnormalized reciprocal pseudospectrum)."""
     B, n2, k2 = V_emb.shape
+    if block_b == 0:
+        block_b = max(128 // k2, 1)
+    Vp, B_orig = pack_subspace(V_emb, block_b)
+    return music_scan_from_packed(
+        Vp, k2, At_emb, nrm, block_g=block_g,
+        interpret=interpret)[:B_orig]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k2", "block_g", "interpret"))
+def music_scan_from_packed(Vp, k2: int, At_emb, nrm=None, *,
+                           block_g: int = 128, interpret: bool = False):
+    """Lane-packed entry: Vp f32[nb, BT·2K, 2N] (rows = (window, k) —
+    exactly ops.pallas.subspace.subspace_packed_pallas's output reshaped)
+    → P f32[nb·BT, G]. Skips the XLA repacking relayout entirely when
+    fed from the fused subspace kernel."""
+    nb, btk2, n2 = Vp.shape
+    BT = btk2 // k2
     G = At_emb.shape[0]
     if nrm is None:
         nrm = jnp.sum(At_emb * At_emb, axis=-1)
-    if block_b == 0:
-        block_b = max(128 // k2, 1)
-    BT, GT = block_b, block_g
+    GT = min(block_g, ((G + 127) // 128) * 128)
 
-    Vp, B_orig = pack_subspace(V_emb, BT)
-    nb = Vp.shape[0]
     At_T, _ = _pad_to(jnp.swapaxes(At_emb, 0, 1), GT, 1)  # (2N, Gp)
     nrm_p, _ = _pad_to(nrm[None, :], GT, 1)               # (1, Gp)
     ng = At_T.shape[1] // GT
@@ -107,4 +121,4 @@ def music_scan_pallas(V_emb, At_emb, nrm=None, *, block_b: int = 0,
         out_shape=jax.ShapeDtypeStruct((nb * BT, ng * GT), jnp.float32),
         interpret=interpret,
     )(nrm_p, Vp, At_T, S)
-    return out[:B_orig, :G]
+    return out[:, :G]

@@ -1,0 +1,195 @@
+"""Fused signal-subspace Pallas TPU kernel (power iteration in VMEM).
+
+The XLA subspace iteration re-reads the embedded covariances E: f32
+[B, 2N, 2N] once per power iteration — 17 HBM passes over an array that
+the TPU stores 4× lane-padded (2N = 32 < the 128-lane tile), measured at
+12.3 ms for the headline config, the single largest stage. This kernel
+reads E ONCE per window and runs the entire iteration in VMEM:
+
+* **Powering by block-diagonal squaring.** Per group of `gw = 128//2N`
+  windows, the (2N, 2N) blocks are packed into one (128, 128)
+  block-diagonal matrix; block-diagonal structure is closed under
+  multiplication, so TWO squarings yield E⁴ for every window in the
+  group at full-tile MXU shapes (the wasted off-diagonal flops, gw×, are
+  far cheaper than gw separate 2N-wide matmuls, which underfill the MXU
+  lane grid the same way but also pay per-op latency).
+
+* **V iteration:** V₀ = first 2K columns of E⁴ (= 4 classic power
+  iterations), then `rounds = iters//4` rounds of V ← orth(E⁴ V) — the
+  same (ratio)⁴ conditioning between orthonormalizations as the XLA
+  path's orth-every-2-with-E¹ schedule squared; safe for signal
+  eigenvalue spreads up to ~10³ in f32 (the subspace hardening check in
+  ops.subspace catches pathological spreads and falls back).
+
+* **Consolidated Newton-Schulz.** The per-window (2K, 2K) Gram matrices
+  of ALL W windows in a program form one (W·2K, W·2K) block-diagonal
+  matrix (cross-window blocks vanish because windows occupy disjoint
+  rows of the consolidated V), so one NS chain of (128,128)-class
+  matmuls orthonormalizes every window at once — no (B, 4, 4)-shaped
+  HBM tensors anywhere (those pad 32× on TPU).
+
+Output is the LANE-PACKED layout the fused MUSIC scan kernel consumes
+directly ((B//BT, BT·2K, 2N) with BT = W): subspace → scan crosses HBM
+once as 33 MB instead of 270+ MB of padded (B, 2N, 2K) tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, out_ref, *,
+                     W: int, n2: int, k2: int, gw: int, rounds: int,
+                     ns_iters: int):
+    # ns_iters=12 handles Gram conditioning up to ~(λ1/λ2K)⁸ ≈ 10³
+    # (NS needs ≈ log2(cond)+3 iterations); the E⁴ round granularity
+    # bounds cond growth between orthonormalizations to ratio⁸.
+    ng = W // gw
+    bd = gw * n2            # block-diagonal side (≤ 128 by construction)
+    wk = W * k2             # consolidated V column count
+
+    f32 = jnp.float32
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    dotT = lambda a, b: jax.lax.dot_general(  # contract rows: aᵀ·b  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    e = e_ref[...]                                   # (W, n2, n2)
+    # Per-window trace normalization (spectrum → O(1); powering can't
+    # overflow and NS operates near its basin).
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 1)
+    eyeN = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
+    tr = jnp.sum(e * eyeN[None], axis=(-2, -1)) / n2     # (W,)
+    e = e * (1.0 / jnp.maximum(tr, 1e-30))[:, None, None]
+
+    def blockdiag(blocks, r, c):
+        """Concat-grid block-diagonal builder (Mosaic has no
+        dynamic_update_slice; pure static concats lower fine)."""
+        n = len(blocks)
+        if n == 1:
+            return blocks[0]
+        z = jnp.zeros((r, c), f32)
+        return jnp.concatenate([
+            jnp.concatenate(
+                [blocks[i] if j == i else z for j in range(n)], axis=1)
+            for i in range(n)], axis=0)
+
+    # --- E⁴ per group via block-diagonal squaring ---------------------
+    E4s, Vs_g = [], []
+    for g in range(ng):
+        blk = blockdiag([e[g * gw + i] for i in range(gw)], n2, n2)
+        b2 = dot(blk, blk)
+        b4 = dot(b2, b2)
+        b4 = 0.5 * (b4 + b4.T)
+        E4s.append(b4)
+        Vs_g.append(dot(b4, sel_ref[...]))           # (bd, gw·k2)
+
+    # --- rounds of consolidated orthonormalize (+ E⁴ apply) -----------
+    eye = eye_ref[...]                               # (wk, wk)
+    for r in range(rounds):
+        if r > 0:
+            Vs_g = [dot(E4s[g], Vs_g[g]) for g in range(ng)]
+        V = blockdiag(Vs_g, bd, gw * k2)             # (W·n2, wk)
+        G = dotT(V, V)                               # (wk, wk) block-diag
+        # Per-window Frobenius norm (an UPPER bound on λmax — the trace
+        # mean is not, and Newton-Schulz diverges outside λ(Gn) < 2;
+        # seen in practice at K=3 eigenvalue spreads). ‖G_w‖_F reaches
+        # every column of window w through one matmul with the 0/1
+        # block-replicator, keeping the whole step MXU-shaped.
+        sq = jnp.sum(G * G, axis=0, keepdims=True)       # (1, wk)
+        fro = jnp.sqrt(dot(sq, rep_ref[...]))        # per-window → cols
+        inv = 1.0 / jnp.maximum(fro, 1e-30)
+        Gn = G * inv                                 # column scale = /‖·‖_F
+        Y, Z = Gn, eye
+        for _ in range(ns_iters):
+            T = 1.5 * eye - 0.5 * dot(Z, Y)
+            Y = dot(Y, T)
+            Z = dot(T, Z)
+        V = dot(V, Z) * jax.lax.rsqrt(jnp.maximum(fro, 1e-30))
+        if r < rounds - 1:
+            Vs_g = [V[g * bd:(g + 1) * bd,
+                      g * gw * k2:(g + 1) * gw * k2] for g in range(ng)]
+
+    # --- emit packed layout: row w·k2+k ← V[w·n2:(w+1)·n2, w·k2+k]ᵀ ---
+    Vt = V.T                                          # (wk, W·n2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wk, n2), 0) // k2
+    acc = jnp.zeros((wk, n2), f32)
+    for w in range(W):
+        acc = acc + jnp.where(rows == w,
+                              Vt[:, w * n2:(w + 1) * n2], 0.0)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_sources", "iters", "ns_iters", "groups_per_block", "interpret"))
+def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
+                           ns_iters: int = 12, groups_per_block: int = 8,
+                           interpret: bool = False):
+    """E: f32[B, 2N, 2N] embedded covariances → packed orthonormal signal
+    subspace f32[ceil(B/W)·W·2K, 2N] (rows = (window, k); reshape to
+    (nb, W·2K, 2N) with W = packing_width(2N) feeds
+    ops.pallas.music_scan directly; see `packed_to_batched` for the
+    (B, 2N, 2K) view). Effective power-iteration count is rounds·4 with
+    rounds = max(1, iters//4)."""
+    B, n2, _ = E.shape
+    k2 = 2 * num_sources
+    gw = max(1, 128 // n2)
+    W = gw * groups_per_block
+    rounds = max(1, iters // 4)
+
+    Bp = ((B + W - 1) // W) * W
+    if Bp != B:
+        pad = jnp.broadcast_to(jnp.eye(n2, dtype=E.dtype),
+                               (Bp - B, n2, n2))
+        E = jnp.concatenate([E, pad], axis=0)
+
+    sel = np.zeros((gw * n2, gw * k2), np.float32)
+    for i in range(gw):
+        for k in range(k2):
+            sel[i * n2 + k, i * k2 + k] = 1.0
+    wk = W * k2
+    rep = np.zeros((wk, wk), np.float32)   # 0/1 block replicator
+    for w in range(W):
+        rep[w * k2:(w + 1) * k2, w * k2:(w + 1) * k2] = 1.0
+    eye = np.eye(wk, dtype=np.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_subspace_kernel, W=W, n2=n2, k2=k2, gw=gw,
+                          rounds=rounds, ns_iters=ns_iters),
+        grid=(Bp // W,),
+        in_specs=[
+            pl.BlockSpec((W, n2, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw * n2, gw * k2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wk, wk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wk, wk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wk, n2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * k2, n2), jnp.float32),
+        interpret=interpret,
+    )(E, jnp.asarray(sel), jnp.asarray(rep), jnp.asarray(eye))
+    return out
+
+
+def packing_width(n2: int, groups_per_block: int = 8) -> int:
+    """Windows per packed row-block (static; matches the kernel's W)."""
+    return max(1, 128 // n2) * groups_per_block
+
+
+def packed_to_batched(Vp, B: int, num_sources: int):
+    """Packed (Bp·2K, 2N) rows → standard (B, 2N, 2K) subspace tensor."""
+    k2 = 2 * num_sources
+    n2 = Vp.shape[-1]
+    V = Vp.reshape(-1, k2, n2)[:B]
+    return jnp.swapaxes(V, 1, 2)

@@ -64,22 +64,69 @@ def initialize(coordinator_address: Optional[str] = None,
     )
 
 
+def _device_slices(mesh: Mesh, pspec: P, global_shape):
+    """Yield (device, index-tuple) pairs: each device's block of a
+    global array sharded by `pspec`, derived from the device's position
+    in the mesh (handles replicated axes — every replica receives the
+    SAME block, which the old per-local-device round-robin did not)."""
+    axes = list(mesh.axis_names)
+    dev_array = mesh.devices
+    for pos in np.ndindex(dev_array.shape):
+        d = dev_array[pos]
+        idx = []
+        for dim, name in enumerate(pspec):
+            if name is None:
+                idx.append(slice(None))
+                continue
+            names = (name,) if isinstance(name, str) else tuple(name)
+            coord, size = 0, 1
+            for nm in names:
+                ai = axes.index(nm)
+                coord = coord * dev_array.shape[ai] + pos[ai]
+                size *= dev_array.shape[ai]
+            step = global_shape[dim] // size
+            idx.append(slice(coord * step, (coord + 1) * step))
+        yield d, tuple(idx)
+
+
 def host_local_to_global(ctx: DistributedContext, x_local: np.ndarray,
                          pspec: P = P(SNAP_AXIS, None)):
-    """Per-host sample block (T_local, N) → global sharded array
-    (num_hosts*T_local, N) without any host gathering the whole capture:
-    each host contributes its block to the addressable shards only."""
+    """Per-host CONTIGUOUS block (rows [host_id·T_local, …)) of a global
+    array → jax global sharded array, without any host gathering the
+    whole capture: each host device_puts only the shards it owns. Shard
+    boundaries must fall inside the host's block (true for the standard
+    snap-major mesh layouts)."""
     sharding = NamedSharding(ctx.mesh, pspec)
-    global_shape = (x_local.shape[0] * ctx.num_hosts,) + x_local.shape[1:]
-    n_local_dev = len([
-        d for d in ctx.mesh.devices.flat
-        if d.process_index == ctx.host_id])
-    per_dev = x_local.shape[0] // max(n_local_dev, 1)
-    arrays = []
-    local_devs = [d for d in ctx.mesh.devices.flat
-                  if d.process_index == ctx.host_id]
-    for i, d in enumerate(local_devs):
-        arrays.append(jax.device_put(
-            x_local[i * per_dev:(i + 1) * per_dev], d))
+    T_local = x_local.shape[0]
+    global_shape = (T_local * ctx.num_hosts,) + x_local.shape[1:]
+    off = ctx.host_id * T_local
+    arrays, devs = [], []
+    for d, idx in _device_slices(ctx.mesh, pspec, global_shape):
+        if d.process_index != ctx.host_id:
+            continue
+        r = idx[0]
+        lo, hi = r.start - off, r.stop - off
+        if lo < 0 or hi > T_local:
+            raise ValueError(
+                f"shard rows [{r.start}, {r.stop}) not inside host "
+                f"{ctx.host_id}'s block [{off}, {off + T_local})")
+        arrays.append(jax.device_put(x_local[lo:hi][idx[1:]], d))
+        devs.append(d)
     return jax.make_array_from_single_device_arrays(
         global_shape, sharding, arrays)
+
+
+def replicated_host_to_global(ctx: DistributedContext, arr: np.ndarray,
+                              pspec: P):
+    """Every host holds the FULL array (e.g. the steering grid or a
+    correction vector); build the global sharded array by giving each
+    local device exactly its pspec-slice."""
+    arr = np.asarray(arr)
+    sharding = NamedSharding(ctx.mesh, pspec)
+    arrays = []
+    for d, idx in _device_slices(ctx.mesh, pspec, arr.shape):
+        if d.process_index != ctx.host_id:
+            continue
+        arrays.append(jax.device_put(arr[idx], d))
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, arrays)

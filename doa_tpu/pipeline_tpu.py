@@ -104,33 +104,54 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                               refine=refine_peaks)
         return v, l
 
-    @jax.jit
-    def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
+    N_el = cfg.geometry.num_elements
+    use_power = cfg.subspace_method == "power"
+    from doa_tpu.ops.pallas.cov_embedded import interleave_factor
+    tp = interleave_factor(N_el)
+    # Fused fast path: interleaved-ingest Pallas covariance emitting the
+    # EMBEDDED E(R) directly (correction + FB folded in-kernel), Pallas
+    # subspace iteration in VMEM, packed handoff to the Pallas scan.
+    fast_cov = (cov_impl == "pallas" and not wb
+                and not cfg.smoothing.enabled and use_power
+                and cfg.hop % tp == 0
+                and cfg.snapshot_size % cfg.hop == 0)
+    need_R = (Estimator.CAPON in cfg.estimators
+              or Estimator.ESPRIT in cfg.estimators
+              or want_root or return_covariance)
+
+    def _subspace_packed(E_win):
+        from doa_tpu.ops.pallas.subspace import (
+            packing_width, subspace_packed_pallas)
+        Vp_flat = subspace_packed_pallas(
+            E_win, cfg.num_sources, iters=cfg.power_iters,
+            interpret=interp)
+        W = packing_width(E_win.shape[-1])
+        return Vp_flat.reshape(-1, W * 2 * cfg.num_sources,
+                               E_win.shape[-1])
+
+    def _estimate(R, E_win, Ar, Ai):
+        """Everything downstream of the covariance stage. Exactly one of
+        R (Cpx windows) / E_win (embedded windows) may be None."""
         A = Cpx(Ar, Ai)
         spectra, pvals, pangs = {}, {}, {}
         root_angles = None
-        if wb:
-            from doa_tpu.ops.wideband import wideband_music_cpx
-            x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
-            Wr, Wi, Asr, Asi = wb_extra
-            P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg)
-            v, l = _peaks(P)
-            spectra["music"] = P
-            pvals["music"] = v
-            pangs["music"] = l
-            return dict(spectra=spectra, peak_values=pvals,
-                        peak_angles=pangs, root_music_angles=None,
-                        covariance=None)
-        R = compute_covariances_cpx(Cpx(xr, xi), cfg,
-                                    correction=Cpx(cr, ci),
-                                    cov_impl=cov_impl, interpret=interp)
-        use_power = cfg.subspace_method == "power"
         M = None
         V_emb = None
+        Vp = None
+        B_out = (E_win if R is None else R.re).shape[0]
         if (use_power
                 and (Estimator.MUSIC in cfg.estimators or want_root)):
-            V_emb = cpx_ops.signal_subspace_embedded(
-                R, cfg.num_sources, iters=cfg.power_iters)
+            if E_win is not None:
+                Vp = _subspace_packed(E_win)
+                if (cfg.scan_mode != "pallas" or want_root):
+                    from doa_tpu.ops.pallas.subspace import (
+                        packed_to_batched)
+                    V_emb = packed_to_batched(
+                        Vp.reshape(-1, E_win.shape[-1]), B_out,
+                        cfg.num_sources)
+            else:
+                V_emb = cpx_ops.signal_subspace_embedded(
+                    R, cfg.num_sources, iters=cfg.power_iters)
         hier = cfg.scan_mode == "hierarchical" and use_power
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
@@ -158,9 +179,14 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 if cfg.scan_mode == "pallas":
                     from doa_tpu.cpx import embed_vector
                     from doa_tpu.ops.pallas.music_scan import (
-                        music_scan_pallas)
-                    P = music_scan_pallas(V_emb, embed_vector(A),
-                                          interpret=interp)
+                        music_scan_from_packed, music_scan_pallas)
+                    if Vp is not None:
+                        P = music_scan_from_packed(
+                            Vp, 2 * cfg.num_sources, embed_vector(A),
+                            interpret=interp)[:B_out]
+                    else:
+                        P = music_scan_pallas(V_emb, embed_vector(A),
+                                              interpret=interp)
                     P = P / jnp.max(P, axis=-1, keepdims=True)
                     v, l = _peaks(P)
                     spectra[est.value] = P
@@ -216,34 +242,102 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
             esprit_angles=esprit_angles,
-            covariance=(R.re, R.im) if return_covariance else None,
+            covariance=((R.re, R.im) if return_covariance else None),
         )
+
+    def _fast_cov(xil, cr, ci):
+        from doa_tpu.cpx import unembed_hermitian
+        from doa_tpu.ops.pallas.cov_embedded import cov_embedded_pallas
+        E_win = cov_embedded_pallas(
+            xil, cr, ci, N=N_el, snapshot_size=cfg.snapshot_size,
+            overlap=cfg.overlap,
+            fb=cfg.avg_method == AvgMethod.FORWARD_BACKWARD,
+            compute_dtype=jnp.dtype(cfg.cov_dtype), interpret=interp)
+        R = unembed_hermitian(E_win) if need_R else None
+        return R, E_win
+
+    @jax.jit
+    def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
+        if wb:
+            from doa_tpu.ops.wideband import wideband_music_cpx
+            A = Cpx(Ar, Ai)
+            spectra, pvals, pangs = {}, {}, {}
+            x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
+            Wr, Wi, Asr, Asi = wb_extra
+            P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg)
+            v, l = _peaks(P)
+            spectra["music"] = P
+            pvals["music"] = v
+            pangs["music"] = l
+            return dict(spectra=spectra, peak_values=pvals,
+                        peak_angles=pangs, root_music_angles=None,
+                        esprit_angles=None, covariance=None)
+        if fast_cov:
+            from doa_tpu.ops.pallas.cov_embedded import to_interleaved
+            R, E_win = _fast_cov(to_interleaved(xr, xi), cr, ci)
+            return _estimate(R, E_win, Ar, Ai)
+        R = compute_covariances_cpx(Cpx(xr, xi), cfg,
+                                    correction=Cpx(cr, ci),
+                                    cov_impl=cov_impl, interpret=interp)
+        return _estimate(R, None, Ar, Ai)
+
+    @jax.jit
+    def run_ilv(xil, cr, ci, Ar, Ai):
+        """Interleaved-ingest entry (fast path only): xil is the raw
+        c64 capture buffer viewed as f32[T/TPACK, 2N·TPACK] — zero host
+        preprocessing, no deinterleave pass on device either."""
+        R, E_win = _fast_cov(xil, cr, ci)
+        return _estimate(R, E_win, Ar, Ai)
 
     A_re_d = jax.device_put(A_re)
     A_im_d = jax.device_put(A_im)
 
+    def _correction_planes(N, correction):
+        if correction is None:
+            return jnp.ones((N,), jnp.float32), jnp.zeros((N,), jnp.float32)
+        if isinstance(correction, Cpx):
+            return correction.re, correction.im
+        c = np.asarray(correction)
+        return (jnp.asarray(c.real.astype(np.float32)),
+                jnp.asarray(c.imag.astype(np.float32)))
+
     def call(x, correction=None) -> DoaResult:
+        N = cfg.geometry.num_elements
+        cr, ci = _correction_planes(N, correction)
+        if (fast_cov and isinstance(x, np.ndarray)
+                and x.dtype == np.complex64):
+            # Zero-copy ingest: C-ordered c64 (T, N) IS the interleaved
+            # f32 layout — no split_c64, no device-side conversion.
+            T = (x.shape[0] // tp) * tp
+            xil = np.ascontiguousarray(x[:T]).view(np.float32).reshape(
+                T // tp, 2 * N * tp)
+            out = run_ilv(jnp.asarray(xil), cr, ci, A_re_d, A_im_d)
+            return DoaResult(**out)
         if isinstance(x, Cpx):
             xr, xi = x.re, x.im
         else:
             from doa_tpu.io.native import split_c64
             re, im = split_c64(np.asarray(x))  # native one-pass deinterleave
             xr, xi = jnp.asarray(re), jnp.asarray(im)
-        N = xr.shape[1]
-        if correction is None:
-            cr = jnp.ones((N,), jnp.float32)
-            ci = jnp.zeros((N,), jnp.float32)
-        elif isinstance(correction, Cpx):
-            cr, ci = correction.re, correction.im
-        else:
-            c = np.asarray(correction)
-            cr = jnp.asarray(c.real.astype(np.float32))
-            ci = jnp.asarray(c.imag.astype(np.float32))
         extra = wb_args if wb else ()
         out = run(xr, xi, cr, ci, A_re_d, A_im_d, *extra)
         return DoaResult(**out)
 
+    def call_interleaved(xil, correction=None) -> DoaResult:
+        """xil: f32[T/TPACK, 2N·TPACK] (device or host) — production
+        ingest entry; requires the fused fast path (raises otherwise)."""
+        if not fast_cov:
+            raise ValueError("interleaved entry requires the fused "
+                             "Pallas path (cov_impl='pallas'/auto on "
+                             "TPU, power subspace, no smoothing)")
+        cr, ci = _correction_planes(cfg.geometry.num_elements, correction)
+        return DoaResult(**run_ilv(jnp.asarray(xil), cr, ci,
+                                   A_re_d, A_im_d))
+
     call.jitted = run
+    call.jitted_ilv = run_ilv if fast_cov else None
+    call.interleaved = call_interleaved
+    call.fast_path = fast_cov
     call.steering_planes = (A_re_d, A_im_d)
     call.config = cfg
     return call

@@ -1,0 +1,105 @@
+"""Fused interleaved-ingest path: cov_embedded + subspace kernels
+(interpreter mode on CPU; the same kernels compile for TPU).
+
+Reference semantics: autocorrelate / antenna_correction (SURVEY §2.1
+C1/C5) with the correction folded via cov(diag(c)x) = (c cᴴ) ∘ cov(x).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import golden
+from doa_tpu.cpx import Cpx, embed_hermitian
+from doa_tpu.ops import cpx_ops
+from doa_tpu.ops.pallas.cov_embedded import (
+    cov_embedded_pallas, interleave_factor, to_interleaved)
+from doa_tpu.ops.pallas.subspace import (
+    packed_to_batched, packing_width, subspace_packed_pallas)
+
+
+def _x(N=16, T=16 * 256, thetas=(60.0, 110.0), snr=10, seed=3):
+    return golden.synthetic_ula_iq(list(thetas), N, 0.5, T,
+                                   snr_db=snr, seed=seed)
+
+
+def test_raw_c64_buffer_is_interleaved_layout():
+    """A C-ordered complex64 capture viewed as f32 must equal the
+    to_interleaved conversion bit-for-bit (the zero-copy ingest claim)."""
+    x = _x().astype(np.complex64)
+    xc = Cpx.from_complex(x)
+    T, N = x.shape
+    tp = interleave_factor(N)
+    raw = np.ascontiguousarray(x).view(np.float32).reshape(
+        T // tp, 2 * N * tp)
+    conv = np.asarray(to_interleaved(xc.re, xc.im))
+    np.testing.assert_array_equal(raw, conv)
+
+
+@pytest.mark.parametrize("overlap,fb", [(0, False), (128, False),
+                                        (0, True), (192, True)])
+def test_cov_embedded_parity(overlap, fb):
+    N, S = 16, 256
+    x = _x(N=N)
+    rng = np.random.default_rng(0)
+    corr = ((1.0 + 0.1 * rng.standard_normal(N))
+            * np.exp(1j * rng.uniform(-0.3, 0.3, N))).astype(np.complex64)
+    c = Cpx.from_complex(corr)
+    xc = Cpx.from_complex(x)
+    R = cpx_ops.cov_from_stream_cpx(xc, S, overlap)
+    R = cpx_ops.apply_correction_to_cov(R, c)
+    if fb:
+        R = cpx_ops.forward_backward_cpx(R)
+    E_ref = np.asarray(embed_hermitian(R))
+    E = np.asarray(cov_embedded_pallas(
+        to_interleaved(xc.re, xc.im), c.re, c.im, N=N, snapshot_size=S,
+        overlap=overlap, fb=fb, interpret=True))
+    assert E.shape == E_ref.shape
+    np.testing.assert_allclose(E, E_ref, rtol=1e-4,
+                               atol=1e-5 * np.abs(E_ref).max())
+
+
+@pytest.mark.parametrize("N,K", [(16, 2), (8, 2), (8, 3)])
+def test_subspace_packed_projector_parity(N, K):
+    x = _x(N=N, T=50 * 1024, thetas=(60.0, 110.0, 88.0)[:max(K, 2)])
+    R = golden.sample_covariance(golden.frame_samples(x, 1024, 0))
+    Rc = Cpx.from_complex(R)
+    B = R.shape[0]
+    V_ref = cpx_ops.signal_subspace_embedded(Rc, K, iters=16)
+    Vp = subspace_packed_pallas(embed_hermitian(Rc), K, iters=16,
+                                interpret=True)
+    V = packed_to_batched(Vp, B, K)
+    assert V.shape == V_ref.shape
+    # subspaces are rotation-ambiguous: compare projectors
+    Pref = np.einsum("bik,bjk->bij", np.asarray(V_ref), np.asarray(V_ref))
+    Pnew = np.einsum("bik,bjk->bij", np.asarray(V), np.asarray(V))
+    np.testing.assert_allclose(Pnew, Pref, atol=2e-5)
+    orth = np.einsum("bik,bil->bkl", np.asarray(V), np.asarray(V))
+    np.testing.assert_allclose(orth, np.broadcast_to(np.eye(2 * K),
+                                                     orth.shape),
+                               atol=5e-6)
+    assert packing_width(2 * N) * (B // packing_width(2 * N) + 1) >= B
+
+
+def test_zero_copy_c64_entry_matches_planes():
+    """build_pipeline_tpu with the fused path: raw complex64 ndarray in
+    (zero-copy view) must match the Cpx-planes route."""
+    from doa_tpu import PRESETS
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+    cfg = dataclasses.replace(PRESETS["c2_ula8_2src"],
+                              cov_impl="pallas", scan_mode="pallas")
+    x = _x(N=8, T=8 * 2048).astype(np.complex64)
+    pipe = build_pipeline_tpu(cfg)
+    assert pipe.fast_path
+    out_raw = pipe(x)                      # ndarray → interleaved view
+    out_cpx = pipe(Cpx.from_complex(x))    # planes → device conversion
+    np.testing.assert_allclose(
+        np.asarray(out_raw.peak_angles["music"]),
+        np.asarray(out_cpx.peak_angles["music"]), atol=1e-4)
+    r = pipe.interleaved(np.ascontiguousarray(x).view(np.float32).reshape(
+        x.shape[0] // interleave_factor(8), -1))
+    np.testing.assert_allclose(
+        np.asarray(r.peak_angles["music"]),
+        np.asarray(out_raw.peak_angles["music"]), atol=1e-4)
