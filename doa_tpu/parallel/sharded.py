@@ -52,6 +52,78 @@ def _halo_exchange(plane, overlap: int, axis_name: str):
     return jnp.concatenate([plane, halo], axis=0)
 
 
+def _local_peaks_merge_1d(P_loc, num_max_vals: int, x_rng, refine: bool):
+    """O(k) tensor-parallel peak extraction (replaces the O(B·G)
+    spectrum all_gather): one-column spectrum halos from the grid
+    neighbors make every LOCAL bin's peak test exact, peaks + sub-bin
+    refinement run on the local block with the global angle mapping,
+    and only (value, angle) candidates — O(k) per device — cross the
+    ICI, merged by an iterative-argmax top-k. Matches dense
+    find_local_max semantics including the pad-with-best-peak /
+    global-argmax fallbacks.
+
+    → (values, angles, global_row_max) — values normalized by the
+    global row max (pmax, O(B) comm)."""
+    from doa_tpu.ops.peaks import _refine_frac, _topk_lastaxis
+
+    k = num_max_vals
+    n = jax.lax.axis_size(GRID_AXIS)
+    me = jax.lax.axis_index(GRID_AXIS)
+    B, G_loc = P_loc.shape
+    G = G_loc * n
+    dx = (x_rng[1] - x_rng[0]) / (G - 1)
+    inf = jnp.float32(jnp.inf)
+
+    if n == 1:
+        P_ext = jnp.pad(P_loc, ((0, 0), (1, 1)), constant_values=jnp.inf)
+    else:
+        left = jax.lax.ppermute(                      # my left halo =
+            P_loc[:, -1:], GRID_AXIS,                 # left nbr's last col
+            [(i, i + 1) for i in range(n - 1)])
+        right = jax.lax.ppermute(
+            P_loc[:, :1], GRID_AXIS,
+            [(i + 1, i) for i in range(n - 1)])
+        left = jnp.where(me == 0, inf, left)          # global edge bins
+        right = jnp.where(me == n - 1, inf, right)    # are never peaks
+        P_ext = jnp.concatenate([left, P_loc, right], axis=1)
+
+    neg_inf = jnp.float32(-jnp.inf)
+    is_max = jnp.zeros_like(P_ext, dtype=bool)
+    is_max = is_max.at[:, 1:-1].set(
+        (P_ext[:, 1:-1] > P_ext[:, :-2])
+        & (P_ext[:, 1:-1] >= P_ext[:, 2:]))
+    masked = jnp.where(is_max, P_ext, neg_inf)
+    vals, idx = _topk_lastaxis(masked, k)             # extended coords
+    x_min_ext = x_rng[0] + (me * G_loc - 1) * dx
+    if refine:
+        locs = x_min_ext + _refine_frac(P_ext, idx, G_loc + 2) * dx
+    else:
+        locs = x_min_ext + idx.astype(P_ext.dtype) * dx
+
+    rmax_i = jnp.argmax(P_loc, axis=-1, keepdims=True)
+    rmax_v = jnp.take_along_axis(P_loc, rmax_i, axis=-1)  # (B, 1)
+    rmax_l = x_rng[0] + (me * G_loc + rmax_i).astype(P_loc.dtype) * dx
+
+    # O(k) exchange: k candidates + the row-max per device.
+    all_v = jax.lax.all_gather(vals, GRID_AXIS, axis=1, tiled=True)
+    all_l = jax.lax.all_gather(locs, GRID_AXIS, axis=1, tiled=True)
+    all_rv = jax.lax.all_gather(rmax_v, GRID_AXIS, axis=1, tiled=True)
+    all_rl = jax.lax.all_gather(rmax_l, GRID_AXIS, axis=1, tiled=True)
+
+    mv, mpos = _topk_lastaxis(all_v, k)
+    ml = jnp.take_along_axis(all_l, mpos, axis=-1)
+    gpos = jnp.argmax(all_rv, axis=-1, keepdims=True)
+    gmax = jnp.take_along_axis(all_rv, gpos, axis=-1)      # (B, 1)
+    gloc = jnp.take_along_axis(all_rl, gpos, axis=-1)
+    have_any = jnp.isfinite(mv[:, 0:1])
+    best_v = jnp.where(have_any, mv[:, 0:1], gmax)
+    best_l = jnp.where(have_any, ml[:, 0:1], gloc)
+    valid = jnp.isfinite(mv)
+    v = jnp.where(valid, mv, best_v)
+    l = jnp.where(valid, ml, best_l)
+    return v / gmax, l, gmax
+
+
 def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                            refine_peaks: bool = True):
     """→ callable(x: complex (T, N) | Cpx, correction) → dict of sharded
@@ -117,12 +189,21 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                     R, A, diag_load=cfg.capon_diag_load, normalize=False)
             else:
                 continue
-            # TP: gather the full spectrum row for normalization + peaks.
-            P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
-                                        tiled=True)
-            P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
-            v, l = _peaks(P_full)
-            out[f"spectrum_{est.value}"] = P_full
+            if is_2d:
+                # 2-D az/el neighborhoods span grid shards: gather the
+                # full spectrum row (the O(k) path below is 1-D only).
+                P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
+                                            tiled=True)
+                P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
+                v, l = _peaks(P_full)
+                out[f"spectrum_{est.value}"] = P_full
+            else:
+                # O(k) TP: local peaks + candidate merge; comm volume is
+                # independent of G (VERDICT r1 item 5). The spectrum
+                # output stays GRID-sharded — no gather anywhere.
+                v, l, gmax = _local_peaks_merge_1d(
+                    P_loc, cfg.num_max_vals, x_rng, refine_peaks)
+                out[f"spectrum_{est.value}"] = P_loc / gmax
             out[f"peak_values_{est.value}"] = v
             out[f"peak_angles_{est.value}"] = l
         if (Estimator.ROOT_MUSIC in cfg.estimators
@@ -145,7 +226,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     out_specs = {}
     for est in cfg.estimators:
         if est in (Estimator.MUSIC, Estimator.CAPON):
-            out_specs[f"spectrum_{est.value}"] = P(SNAP_AXIS, None)
+            out_specs[f"spectrum_{est.value}"] = (
+                P(SNAP_AXIS, None) if is_2d else P(SNAP_AXIS, GRID_AXIS))
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_angles_{est.value}"] = P(SNAP_AXIS, None)
     if (Estimator.ROOT_MUSIC in cfg.estimators
