@@ -181,9 +181,11 @@ class DoaConfig:
         if self.cov_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")
-        # NOTE: irregular overlap (hop not dividing snapshot_size) is legal
-        # here — the complex/CPU path frames it explicitly; the zero-copy
-        # cpx/TPU path raises at build time if asked for it.
+        # NOTE: irregular overlap (hop not dividing snapshot_size) is
+        # legal on every path: the TPU paths frame it with
+        # gcd(S, hop)-granularity chunk Grams + strided prefix sums
+        # (exact; less MXU-efficient for tiny gcds), the complex/CPU
+        # path frames it explicitly.
 
     @property
     def hop(self) -> int:

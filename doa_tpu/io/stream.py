@@ -48,7 +48,8 @@ class StreamingDriver:
     """
 
     def __init__(self, pipeline, block_samples: int, *,
-                 ring_capacity: int = 8, correction=None):
+                 ring_capacity: int = 8, correction=None,
+                 max_in_flight: int = 2):
         cfg = pipeline.config
         if block_samples % cfg.hop:
             raise ValueError("block_samples must be a multiple of hop")
@@ -63,6 +64,12 @@ class StreamingDriver:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
+        # True double buffering: keep up to max_in_flight dispatched
+        # blocks un-fenced, so host framing of block i+1 (and i+2 …)
+        # overlaps device compute of block i; the oldest is completion-
+        # fenced (tiny device→host fetch — block_until_ready can return
+        # at enqueue time on relay backends) before being emitted.
+        self._max_in_flight = max(1, max_in_flight)
 
     # -- producer side -------------------------------------------------
     def push(self, block: np.ndarray) -> bool:
@@ -87,12 +94,23 @@ class StreamingDriver:
             self._thread.join()
 
     # -- consumer thread -----------------------------------------------
+    def _fence_emit(self, idx, res):
+        first = next(iter(res.peak_angles.values()), None)
+        if first is not None:
+            np.asarray(first.ravel()[:1])       # completion fence
+            self.stats.windows_emitted += int(first.shape[0])
+        self.results.put((idx, res))
+
     def _run(self):
+        import collections
         overlap = self._cfg.overlap
+        pending = collections.deque()
         while not (self._stop.is_set() and self._ring.empty()):
             try:
                 block = self._ring.get(timeout=0.05)
             except queue.Empty:
+                while pending:
+                    self._fence_emit(*pending.popleft())
                 continue
             if self._tail is not None and overlap > 0:
                 x = np.concatenate([self._tail, block], axis=0)
@@ -100,14 +118,15 @@ class StreamingDriver:
                 x = block
             if overlap > 0:
                 self._tail = block[-overlap:]
-            res = self._pipe(x, self._corr)
+            res = self._pipe(x, self._corr)     # async dispatch
             idx = self.stats.blocks_processed
             self.stats.blocks_processed += 1
             self.stats.samples_processed += block.shape[0]
-            first = next(iter(res.peak_angles.values()), None)
-            if first is not None:
-                self.stats.windows_emitted += int(first.shape[0])
-            self.results.put((idx, res))
+            pending.append((idx, res))
+            while len(pending) >= self._max_in_flight:
+                self._fence_emit(*pending.popleft())
+        while pending:
+            self._fence_emit(*pending.popleft())
 
     # -- convenience ----------------------------------------------------
     def run_iter(self, blocks: Iterable[np.ndarray]):

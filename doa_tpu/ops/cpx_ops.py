@@ -83,19 +83,28 @@ def cov_from_stream_cpx(x: Cpx, snapshot_size: int, overlap: int,
     impl="pallas": chunk Grams from the Pallas kernel — reads the planes
     once (VMEM stacking) instead of materializing the stacked copy in
     HBM, and supports bf16 Gram inputs (`cov_dtype`) for 4× MXU rate.
-    impl="xla": pure-XLA stacked-Gram einsum (any backend)."""
+    impl="xla": pure-XLA stacked-Gram einsum (any backend).
+
+    Irregular overlap (hop ∤ S) is served by gcd-granularity chunks:
+    windows start at hop-multiples and span S samples, both multiples
+    of g = gcd(S, hop), so strided prefix-sum differences reproduce the
+    reference's sliding windows exactly for ANY 0 ≤ overlap < S. Tiny
+    gcds (e.g. g=4) trade MXU efficiency for generality — prefer
+    hop | S operating points for throughput."""
+    import math
+
     S = snapshot_size
     hop = S - overlap
     T, N = x.shape
-    if S % hop != 0:
-        raise ValueError("hop must divide snapshot_size on the cpx path")
+    g = math.gcd(S, hop)
     if impl == "pallas":
         from doa_tpu.ops.pallas.covariance import chunk_grams_pallas
-        C = chunk_grams_pallas(x, hop, compute_dtype=cov_dtype,
+        C = chunk_grams_pallas(x, g, compute_dtype=cov_dtype,
                                interpret=interpret)
     else:
-        C = chunk_grams_cpx(x, hop)
-    n_win = S // hop
+        C = chunk_grams_cpx(x, g)
+    n_win = S // g
+    stride = hop // g
     B = 0 if T < S else (T - S) // hop + 1
 
     def win(plane):
@@ -104,7 +113,9 @@ def cov_from_stream_cpx(x: Cpx, snapshot_size: int, overlap: int,
         csum = jnp.concatenate(
             [jnp.zeros((1, N, N), plane.dtype), jnp.cumsum(plane, axis=0)],
             axis=0)
-        return (csum[n_win : n_win + B] - csum[:B]) / S
+        lo = csum[0:(B - 1) * stride + 1:stride]
+        hi = csum[n_win:n_win + (B - 1) * stride + 1:stride]
+        return (hi - lo) / S
 
     R = Cpx(win(C.re), win(C.im))
     if fb_average:

@@ -139,19 +139,27 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
                         interpret: bool = False):
     """xil: f32[T/TPACK, 2N·TPACK] interleaved rows; cr/ci: f32[N]
     correction → E(R) windows f32[B, 2N, 2N] (normalized by S,
-    correction + optional FB folded). Requires hop % TPACK == 0 and
-    hop | S (reference hop-aligned overlap)."""
+    correction + optional FB folded). Any 0 ≤ overlap < S with
+    TPACK | gcd(S, hop): chunks at gcd granularity, windows by strided
+    prefix-sum differences (reference sliding-window semantics)."""
+    import math
+
     S = snapshot_size
     hop = S - overlap
     tp = interleave_factor(N)
-    if hop % tp or S % hop:
-        raise ValueError("need TPACK | hop and hop | snapshot_size")
+    g = math.gcd(S, hop)
+    if g % tp:
+        raise ValueError(
+            f"need TPACK ({tp}) | gcd(S, hop) ({g}) on the interleaved "
+            "path — use the planes path for this overlap")
     Trows, width = xil.shape
     assert width == 2 * N * tp
     T = Trows * tp
-    n = T // hop
+    n = T // g
     B = 0 if T < S else (T - S) // hop + 1
-    n_win = S // hop
+    n_win = S // g
+    stride = hop // g
+    hop = g          # kernel operates on gcd-granularity chunks
     cb = chunks_per_block
     while n % cb:
         cb //= 2
@@ -213,4 +221,6 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
     csum = jnp.concatenate(
         [jnp.zeros((1,) + E.shape[1:], E.dtype), jnp.cumsum(E, axis=0)],
         axis=0)
-    return csum[n_win: n_win + B] - csum[:B]
+    lo = csum[0:(B - 1) * stride + 1:stride]
+    hi = csum[n_win:n_win + (B - 1) * stride + 1:stride]
+    return hi - lo

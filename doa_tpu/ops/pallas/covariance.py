@@ -107,21 +107,29 @@ def cov_windows_pallas(x: Cpx, snapshot_size: int, overlap: int,
     """x: Cpx[T, N] → R: Cpx[B, N, N] (normalized by S), windows at every
     hop = S − overlap offset — reference autocorrelate semantics.
 
-    hop | S → pipelined chunk-Gram kernel + sliding window sums (the
-    production path); otherwise the strided manual-DMA kernel below."""
+    gcd(S, hop) ≥ 64 → pipelined chunk-Gram kernel + strided sliding
+    window sums (the production path; exact for ANY overlap); smaller
+    gcds → the strided manual-DMA kernel below (re-reads ≤ S/hop× but
+    keeps full-size Grams)."""
+    import math
+
     S = snapshot_size
     hop = S - overlap
     T, N = x.shape
     B = 0 if T < S else (T - S) // hop + 1
-    if S % hop == 0:
-        C = chunk_grams_pallas(x, hop, interpret=interpret)
-        n_win = S // hop
+    g = math.gcd(S, hop)
+    if g >= 64:
+        C = chunk_grams_pallas(x, g, interpret=interpret)
+        n_win = S // g
+        stride = hop // g
 
         def win(plane):
             csum = jnp.concatenate(
                 [jnp.zeros((1, N, N), plane.dtype),
                  jnp.cumsum(plane, axis=0)], axis=0)
-            return (csum[n_win : n_win + B] - csum[:B]) / S
+            lo = csum[0:(B - 1) * stride + 1:stride]
+            hi = csum[n_win:n_win + (B - 1) * stride + 1:stride]
+            return (hi - lo) / S
 
         return Cpx(win(C.re), win(C.im))
     Z = jnp.concatenate([x.re, x.im], axis=-1)         # (T, 2N)

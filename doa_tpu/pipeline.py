@@ -8,7 +8,10 @@ compiles to ONE XLA program over the whole snapshot batch:
       spectra f32[B,G] per estimator ─ peaks (vals, locs)
 
 XLA fuses the element-wise stages into the Grams/scans; pipeline
-parallelism comes from async dispatch + donated buffers, not threads.
+parallelism comes from async dispatch plus bounded multi-in-flight
+blocks in io.stream.StreamingDriver, with optional input-buffer
+donation (`build_pipeline_tpu(donate_inputs=True)`) so XLA reuses the
+sample planes' HBM — not threads.
 """
 
 from __future__ import annotations

@@ -60,11 +60,18 @@ def compute_covariances_cpx(x: Cpx, cfg: DoaConfig,
 
 
 def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
-                       return_covariance: bool = False):
+                       return_covariance: bool = False,
+                       donate_inputs: bool = False):
     """→ callable(x: complex (T, N) numpy | Cpx, correction) → DoaResult.
 
     The jitted core signature is all-real:
         run(xr, xi, cr, ci, Ar, Ai) → dict of f32 arrays (+ R planes).
+
+    donate_inputs=True donates the sample planes to the compiled call
+    (XLA reuses their HBM for intermediates — the streaming double-
+    buffer mode). Callers must then treat each input array as consumed:
+    do NOT re-call with the same device buffers (fine for streaming,
+    wrong for benchmarks that loop over one resident array).
     """
     A_host, x_rng = _steering_matrix(cfg)
     A_re = np.ascontiguousarray(A_host.real.astype(np.float32))
@@ -111,10 +118,10 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     # Fused fast path: interleaved-ingest Pallas covariance emitting the
     # EMBEDDED E(R) directly (correction + FB folded in-kernel), Pallas
     # subspace iteration in VMEM, packed handoff to the Pallas scan.
+    import math
     fast_cov = (cov_impl == "pallas" and not wb
                 and not cfg.smoothing.enabled and use_power
-                and cfg.hop % tp == 0
-                and cfg.snapshot_size % cfg.hop == 0)
+                and math.gcd(cfg.snapshot_size, cfg.hop) % tp == 0)
     need_R = (Estimator.CAPON in cfg.estimators
               or Estimator.ESPRIT in cfg.estimators
               or want_root or return_covariance)
@@ -256,7 +263,6 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         R = unembed_hermitian(E_win) if need_R else None
         return R, E_win
 
-    @jax.jit
     def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
         if wb:
             from doa_tpu.ops.wideband import wideband_music_cpx
@@ -281,13 +287,16 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                                     cov_impl=cov_impl, interpret=interp)
         return _estimate(R, None, Ar, Ai)
 
-    @jax.jit
     def run_ilv(xil, cr, ci, Ar, Ai):
         """Interleaved-ingest entry (fast path only): xil is the raw
         c64 capture buffer viewed as f32[T/TPACK, 2N·TPACK] — zero host
         preprocessing, no deinterleave pass on device either."""
         R, E_win = _fast_cov(xil, cr, ci)
         return _estimate(R, E_win, Ar, Ai)
+
+    run = jax.jit(run, donate_argnums=(0, 1) if donate_inputs else ())
+    run_ilv = jax.jit(run_ilv,
+                      donate_argnums=(0,) if donate_inputs else ())
 
     A_re_d = jax.device_put(A_re)
     A_im_d = jax.device_put(A_im)

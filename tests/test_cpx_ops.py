@@ -57,7 +57,8 @@ def test_cov_cpx_parity(fb):
                                atol=2e-5)
 
 
-@pytest.mark.parametrize("S,O", [(512, 0), (512, 256)])
+@pytest.mark.parametrize("S,O", [(512, 0), (512, 256), (256, 100),
+                                 (512, 500)])
 def test_cov_from_stream_cpx_parity(S, O):
     x = _iq([70.0], 8, 8192)
     R_ref = golden.sample_covariance(golden.frame_samples(x, S, O))

@@ -39,7 +39,8 @@ def test_raw_c64_buffer_is_interleaved_layout():
 
 
 @pytest.mark.parametrize("overlap,fb", [(0, False), (128, False),
-                                        (0, True), (192, True)])
+                                        (0, True), (192, True),
+                                        (100, False), (156, True)])
 def test_cov_embedded_parity(overlap, fb):
     N, S = 16, 256
     x = _x(N=N)

@@ -1,0 +1,65 @@
+"""UDP ingest (reference P1 twinrx_usrp_source stand-in): loopback
+end-to-end into the streaming pipeline + rate/loss accounting."""
+
+import time
+
+import numpy as np
+
+import golden
+from doa_tpu import PRESETS
+from doa_tpu.io.socket_source import (
+    UdpSource, loopback_rate_bench, send_capture_udp)
+from doa_tpu.io.stream import StreamingDriver
+from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+
+def test_udp_to_pipeline_end_to_end():
+    cfg = PRESETS["c1_ula4_tone"]
+    pipe = build_pipeline_tpu(cfg)
+    drv = StreamingDriver(pipe, block_samples=8 * 256).start()
+    src = UdpSource(drv, num_channels=4, block_samples=8 * 256).start()
+
+    x = golden.synthetic_ula_iq([64.0], 4, 0.5, 64 * 256, snr_db=15,
+                                seed=5)
+    send_capture_udp(x.astype(np.complex64), src.addr,
+                     datagram_frames=500)
+    deadline = time.time() + 20
+    results = []
+    while len(results) < 4 and time.time() < deadline:
+        try:
+            results.append(drv.results.get(timeout=0.5))
+        except Exception:
+            pass
+    src.stop()
+    drv.stop()
+    assert len(results) >= 4, f"stats: {src.stats} {drv.stats}"
+    assert src.stats.packets_lost == 0
+    angles = np.concatenate(
+        [np.asarray(r.peak_angles["music"]).ravel()
+         for _, r in results])
+    np.testing.assert_allclose(angles, 64.0, atol=1.0)
+
+
+def test_udp_sequence_gap_detection():
+    class _Sink:
+        def push(self, b):
+            return True
+
+    src = UdpSource(_Sink(), num_channels=4, block_samples=1024).start()
+    x = np.zeros((500, 4), np.complex64)
+    seq = send_capture_udp(x, src.addr, datagram_frames=100, seq0=0)
+    # skip two sequence numbers → 2 lost packets
+    send_capture_udp(x, src.addr, datagram_frames=100, seq0=seq + 2)
+    time.sleep(0.3)
+    src.stop()
+    assert src.stats.packets_lost == 2
+    assert src.stats.packets_in == 10
+
+
+def test_udp_loopback_rate():
+    """North-star ingest is 1.28 GB/s (16 ch × 10 Msps × 8 B); loopback
+    UDP on this container should clear a healthy fraction of it — the
+    full-rate number is bench_ingest.py's job on quiet hardware."""
+    gbps, loss = loopback_rate_bench(seconds=0.4)
+    print(f"loopback UDP ingest: {gbps:.2f} GB/s, loss {loss:.1%}")
+    assert gbps > 0.3, f"only {gbps:.2f} GB/s"
