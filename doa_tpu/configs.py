@@ -139,6 +139,13 @@ class DoaConfig:
     # (exact; LAPACK-style, slower on TPU for large batches).
     subspace_method: str = "power"
     power_iters: int = 16             # subspace-iteration count for "power"
+    # Power-iteration hardening: compute the per-window invariance
+    # residual of the iterated subspace and fall back to exact eigh for
+    # windows above subspace_tol (lax.cond — the converged common case
+    # pays 3 extra batched matmuls, not an eigh). The residual appears
+    # in DoaResult.subspace_residual for observability.
+    subspace_check: bool = False
+    subspace_tol: float = 0.05
     # MUSIC scan strategy: "dense" scans the full grid; "hierarchical"
     # (ULA + power path only) runs a coarse grid scan then refines each
     # peak on an on-device micro-grid — resolution beyond the grid at a

@@ -177,7 +177,7 @@ def noise_projector_cpx(R: Cpx, num_sources: int) -> Cpx:
 
 
 def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 16,
-                             ns_iters: int = 5):
+                             ns_iters: int = 8):
     """Orthonormal basis of the embedded SIGNAL subspace via subspace
     (power) iteration: (B, 2N, 2K) f32.
 
@@ -199,7 +199,7 @@ def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 16,
 
 
 def signal_subspace_from_E(E, num_sources: int, iters: int = 16,
-                           ns_iters: int = 5):
+                           ns_iters: int = 8):
     """As signal_subspace_embedded but from pre-embedded E: f32[B,2N,2N]
     (e.g. the fused covariance kernel's output)."""
     K2 = 2 * num_sources
@@ -212,15 +212,20 @@ def signal_subspace_from_E(E, num_sources: int, iters: int = 16,
     def orthonormalize(V):
         G = jnp.einsum("bik,bil->bkl", V, V,
                        preferred_element_type=jnp.float32)
-        tr = jnp.trace(G, axis1=-2, axis2=-1)[..., None, None] / K2
-        Gn = G / tr
+        # Frobenius norm, not the trace mean: NS diverges unless
+        # λ(Gn) < 2, and ‖G‖_F ≥ λmax guarantees the basin for any
+        # eigenvalue spread (the trace mean does not — seen at large
+        # signal-amplitude ratios).
+        fro = jnp.sqrt(jnp.sum(G * G, axis=(-2, -1)))[..., None, None]
+        fro = jnp.maximum(fro, 1e-30)
+        Gn = G / fro
         eye = jnp.eye(K2, dtype=V.dtype)
         Y, Z = Gn, jnp.broadcast_to(eye, Gn.shape)
         for _ in range(ns_iters):                # Newton-Schulz for G^-1/2
             T = 0.5 * (3.0 * eye - mm(Z, Y))
             Y = mm(Y, T)
             Z = mm(T, Z)
-        return mm(V, Z) / jnp.sqrt(tr)
+        return mm(V, Z) / jnp.sqrt(fro)
 
     V = orthonormalize(V)
     for i in range(iters):
@@ -234,6 +239,108 @@ def signal_subspace_from_E(E, num_sources: int, iters: int = 16,
             norm = jnp.sqrt(jnp.sum(V * V, axis=-2, keepdims=True))
             V = V / jnp.maximum(norm, 1e-30)
     return V
+
+
+def subspace_residual(E, V_emb):
+    """Invariance residual of a candidate signal subspace: per window
+
+        r = ‖(I − V Vᵀ) E V‖_F / ‖E V‖_F  ∈ [0, 1]
+
+    Exactly 0 for an invariant subspace; grows when power iteration has
+    not converged (small signal/noise eigengap, pathological eigenvalue
+    spreads beyond the Newton-Schulz envelope). Three batched matmuls —
+    cheap relative to one extra power iteration. E: f32[B, 2N, 2N],
+    V_emb: f32[B, 2N, 2K] → f32[B]."""
+    mm = lambda a, b: jnp.einsum(  # noqa: E731
+        "bij,bjk->bik", a, b, preferred_element_type=jnp.float32)
+    EV = mm(E, V_emb)
+    coef = jnp.einsum("bij,bik->bjk", V_emb, EV,
+                      preferred_element_type=jnp.float32)   # Vᵀ E V
+    resid = EV - mm(V_emb, coef)
+    num = jnp.sqrt(jnp.sum(resid * resid, axis=(-2, -1)))
+    den = jnp.sqrt(jnp.sum(EV * EV, axis=(-2, -1)))
+    return num / jnp.maximum(den, 1e-30)
+
+
+def eigh_signal_subspace_from_E(E, num_sources: int):
+    """Exact embedded signal subspace via full eigh (the guard's
+    fallback): top 2K eigenvectors of E: f32[B, 2N, 2N] → (B, 2N, 2K)."""
+    _, Vecs = jnp.linalg.eigh(E)
+    return Vecs[..., :, -2 * num_sources:]
+
+
+def capture_gap(E, V_emb, probe_iters: int = 8):
+    """Wrong-subspace detector: power-iterate the DEFLATED matrix
+    (I − VVᵀ)E a few steps; its Rayleigh value estimates the largest
+    eigenvalue NOT captured by V. If that exceeds the smallest captured
+    Rayleigh value, V converged to the wrong invariant subspace (e.g.
+    the weak source's direction was lost to f32 at large eigenvalue
+    spreads — the failure the invariance residual is blind to, since
+    every eigen-subspace is invariant). → (lam_missed, lam_min_captured)
+    per window."""
+    mm = lambda a, b: jnp.einsum(  # noqa: E731
+        "bij,bjk->bik", a, b, preferred_element_type=jnp.float32)
+    EV = mm(E, V_emb)
+    lam = jnp.einsum("bik,bik->bk", V_emb, EV,
+                     preferred_element_type=jnp.float32)  # Rayleighs
+    lam_min = jnp.min(lam, axis=-1)
+
+    # u ← (I − VVᵀ) E u, normalized; deterministic generic start.
+    u = jnp.sum(E, axis=-1)                       # (B, 2N) = E @ ones
+    for _ in range(probe_iters):
+        c = jnp.einsum("bik,bi->bk", V_emb, u,
+                       preferred_element_type=jnp.float32)
+        u = u - jnp.einsum("bik,bk->bi", V_emb, c,
+                           preferred_element_type=jnp.float32)
+        u = jnp.einsum("bij,bj->bi", E, u,
+                       preferred_element_type=jnp.float32)
+        u = u / jnp.maximum(
+            jnp.sqrt(jnp.sum(u * u, axis=-1, keepdims=True)), 1e-30)
+    c = jnp.einsum("bik,bi->bk", V_emb, u,
+                   preferred_element_type=jnp.float32)
+    u = u - jnp.einsum("bik,bk->bi", V_emb, c,
+                       preferred_element_type=jnp.float32)
+    nrm = jnp.sum(u * u, axis=-1)
+    Eu = jnp.einsum("bij,bj->bi", E, u,
+                    preferred_element_type=jnp.float32)
+    lam_missed = jnp.sum(u * Eu, axis=-1) / jnp.maximum(nrm, 1e-30)
+    return lam_missed, lam_min
+
+
+def guarded_signal_subspace(E, V_emb, num_sources: int,
+                            tol: float = 0.05, gap_margin: float = 1.05):
+    """Power-iteration hardening (SURVEY §7.3 hard part 1). Three
+    checks per window, each catching a distinct failure mode:
+
+    (a) invariance residual > tol — iteration not converged;
+    (b) orthonormality error ‖VᵀV − I‖∞ > tol — Newton-Schulz basis
+        collapse (huge eigenvalue spreads drive the columns nearly
+        parallel; such a V can look perfectly invariant);
+    (c) capture gap — a deflated power probe finds an eigenvalue
+        ≥ gap_margin × the smallest captured Rayleigh value (converged
+        cleanly to the WRONG invariant subspace, e.g. dominant + noise
+        directions instead of a weak source; invisible to (a) and (b)).
+
+    Offending windows are replaced by the exact eigh subspace under
+    lax.cond, so the healthy common case never pays for the eigh.
+    → (V_emb, flag-residual f32[B] — ≥1.0 marks replaced windows)."""
+    res = subspace_residual(E, V_emb)
+    k2 = V_emb.shape[-1]
+    G = jnp.einsum("bik,bil->bkl", V_emb, V_emb,
+                   preferred_element_type=jnp.float32)
+    orth_err = jnp.max(jnp.abs(G - jnp.eye(k2, dtype=G.dtype)),
+                       axis=(-2, -1))
+    lam_missed, lam_min = capture_gap(E, V_emb)
+    bad = ((res > tol) | (orth_err > tol)
+           | (lam_missed > gap_margin * lam_min))
+
+    def fallback(_):
+        V_exact = eigh_signal_subspace_from_E(E, num_sources)
+        return jnp.where(bad[:, None, None], V_exact, V_emb)
+
+    V_out = jax.lax.cond(jnp.any(bad), fallback, lambda _: V_emb,
+                         operand=None)
+    return V_out, jnp.maximum(res, jnp.where(bad, 1.0, 0.0))
 
 
 def noise_projector_from_signal(V_emb) -> Cpx:

@@ -159,6 +159,125 @@ def music_hierarchical_ura(V_emb, A_coarse: Cpx, num_peaks: int,
     return vals, az, el
 
 
+def _capon_chol(R: Cpx, diag_load: float):
+    """Diagonal-loaded Cholesky of the 2N real embedding (one factor per
+    window, reused for every refinement angle)."""
+    from doa_tpu.cpx import embed_hermitian
+
+    N = R.shape[-1]
+    if diag_load > 0:
+        tr = jnp.trace(R.re, axis1=-2, axis2=-1) / N
+        eye = jnp.eye(N, dtype=R.re.dtype)
+        R = Cpx(R.re + (diag_load * tr)[..., None, None] * eye, R.im)
+    return jax.lax.linalg.cholesky(embed_hermitian(R))
+
+
+def _capon_den_at(L, at):
+    """den = ‖L⁻¹ ã‖² for steering rows ã: f32[B, ..., 2N] against
+    per-window Cholesky factors L: f32[B, 2N, 2N]."""
+    lead = at.shape[1:-1]
+    n2 = at.shape[-1]
+    rhs = jnp.moveaxis(at.reshape(at.shape[0], -1, n2), 1, 2)
+    X = jax.lax.linalg.triangular_solve(L, rhs, left_side=True,
+                                        lower=True)
+    den = jnp.sum(X * X, axis=-2)                    # (B, prod(lead))
+    return den.reshape((at.shape[0],) + lead)
+
+
+def _ula_steering_rows(theta_deg, N: int, norm_spacing):
+    theta = jnp.deg2rad(theta_deg)
+    k = jnp.arange(N, dtype=jnp.float32)
+    phase = (-2.0 * jnp.pi * norm_spacing
+             * jnp.cos(theta)[..., None] * k)
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+
+
+def _ura_steering_rows(az_deg, el_deg, shape, norm_spacing):
+    nx, ny = shape
+    az = jnp.deg2rad(az_deg)
+    el = jnp.deg2rad(el_deg)
+    ux = jnp.cos(el) * jnp.sin(az)
+    uy = jnp.cos(el) * jnp.cos(az)
+    ix = jnp.arange(nx, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(ny, dtype=jnp.float32)[None, :]
+    phase = (-2.0 * jnp.pi * norm_spacing
+             * (ux[..., None, None] * ix + uy[..., None, None] * iy))
+    phase = phase.reshape(*az.shape, nx * ny)
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+
+
+def _parabolic_argmin(den, theta, half_width_deg: float, W: int):
+    i = jnp.argmin(den, axis=-1)
+    im = jnp.clip(i - 1, 0, W - 1)
+    ip = jnp.clip(i + 1, 0, W - 1)
+    dm = jnp.take_along_axis(den, im[..., None], -1)[..., 0]
+    d0 = jnp.take_along_axis(den, i[..., None], -1)[..., 0]
+    dp = jnp.take_along_axis(den, ip[..., None], -1)[..., 0]
+    curv = dm - 2.0 * d0 + dp
+    delta = jnp.where(jnp.abs(curv) > 0, 0.5 * (dm - dp) / curv, 0.0)
+    delta = jnp.where((i > 0) & (i < W - 1),
+                      jnp.clip(delta, -1.0, 1.0), 0.0)
+    step = 2.0 * half_width_deg / (W - 1)
+    t0 = jnp.take_along_axis(theta, i[..., None], -1)[..., 0]
+    return t0 + delta * step
+
+
+def capon_hierarchical_ula(R: Cpx, A_coarse: Cpx, num_peaks: int,
+                           norm_spacing: float, diag_load: float = 1e-4,
+                           coarse_rng=(0.0, 180.0),
+                           half_width_deg: float = 1.5,
+                           num_points: int = 33):
+    """Coarse→refine Capon-MVDR for a ULA: one Cholesky of the loaded
+    2N embedding per window (the coarse scan's factor, reused), then the
+    exact Capon denominator ‖L⁻¹ã(θ)‖² on per-peak micro-grids +
+    parabolic minimum. → (values f32[B, k], angles f32[B, k])."""
+    from doa_tpu.ops.cpx_ops import capon_spectrum_cpx
+
+    N = R.shape[-1]
+    P_c = capon_spectrum_cpx(R, A_coarse, diag_load=diag_load)
+    vals, coarse = find_local_max(P_c, num_peaks, coarse_rng[0],
+                                  coarse_rng[1], refine=False)
+    L = _capon_chol(R, diag_load)
+    offs = jnp.linspace(-half_width_deg, half_width_deg, num_points)
+    theta = coarse[..., None] + offs                 # (B, k, W)
+    at = _ula_steering_rows(theta, N, norm_spacing)
+    den = _capon_den_at(L, at)
+    return vals, _parabolic_argmin(den, theta, half_width_deg,
+                                   num_points)
+
+
+def capon_hierarchical_ura(R: Cpx, A_coarse: Cpx, num_peaks: int,
+                           shape, norm_spacing: float, grid2d,
+                           diag_load: float = 1e-4,
+                           half_width_deg: float = 2.0,
+                           num_points: int = 9):
+    """Coarse→refine Capon for a planar array (2-D az/el).
+    → (values f32[B, k], az f32[B, k], el f32[B, k])."""
+    from doa_tpu.ops.cpx_ops import capon_spectrum_cpx
+    from doa_tpu.ops.peaks import find_local_max_2d
+
+    P_c = capon_spectrum_cpx(R, A_coarse, diag_load=diag_load)
+    P2 = P_c.reshape(P_c.shape[0], grid2d.num_az, grid2d.num_el)
+    vals, az_c, el_c = find_local_max_2d(
+        P2, num_peaks, (grid2d.az_lo_deg, grid2d.az_hi_deg),
+        (grid2d.el_lo_deg, grid2d.el_hi_deg), refine=False)
+    L = _capon_chol(R, diag_load)
+    Wp = num_points
+    offs = jnp.linspace(-half_width_deg, half_width_deg, Wp)
+    azg = az_c[..., None, None] + offs[:, None]
+    elg = el_c[..., None, None] + offs[None, :]
+    azg, elg = jnp.broadcast_arrays(azg, elg)        # (B, k, Wp, Wp)
+    at = _ura_steering_rows(azg, elg, shape, norm_spacing)
+    den = _capon_den_at(L, at)
+    B, k = az_c.shape
+    i = jnp.argmin(den.reshape(B, k, Wp * Wp), axis=-1)
+    az = jnp.take_along_axis(
+        azg.reshape(B, k, Wp * Wp), i[..., None], -1)[..., 0]
+    el = jnp.take_along_axis(
+        elg.reshape(B, k, Wp * Wp), i[..., None], -1)[..., 0]
+    return vals, az, el
+
+
 def music_hierarchical_ula(V_emb, A_coarse: Cpx, num_peaks: int,
                            norm_spacing: float,
                            coarse_rng=(0.0, 180.0),

@@ -80,53 +80,46 @@ def _perm_interleaved_to_planar(N: int) -> np.ndarray:
     return P
 
 
-def _cov_kernel(z_ref, mask_ref, ps_ref, bdpst_ref, jp_ref, bdjt_ref,
-                fb2_ref, bdfb_ref, wre_ref, wim_ref, e_ref, *, N: int,
-                hop: int,
-                tp: int, cb: int, fb: bool, scale: float,
+def _cov_kernel(z_ref, p_ref, wre_ref, wim_ref, e_ref, *, N: int,
+                hop: int, tp: int, cb: int, fb: bool, scale: float,
                 compute_dtype):
-    """Per program: cb chunk Grams (full-lane MXU), then the
-    interleaved→planar→embedded transform as a handful of PROGRAM-WIDE
-    matmuls on the horizontal chunk stack (static block-diagonal right
-    factors) — per-chunk small ops measured as the dominant cost of the
-    naive version."""
+    """Per program: cb chunk Grams (full-lane MXU) + per-chunk
+    interleaved→planar→embedded transform on (2N, 2N) tiles in VMEM.
+
+    (A variant batching the basis changes program-wide through static
+    block-diagonal right factors — fewer small ops — reliably crashes
+    the TPU compile helper (SIGABRT) on this toolchain; the per-chunk
+    form compiles and the small ops cost ~1 ms/call at the headline
+    config.)"""
     f32 = jnp.float32
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
     rows = hop // tp
     n2 = 2 * N
-    mask = mask_ref[...]
-    Us = []
+    Pm = p_ref[...]
+    Wre = wre_ref[...]
+    Wim = wim_ref[...]
     for c in range(cb):
         z = z_ref[c * rows:(c + 1) * rows, :]
         if compute_dtype != f32:
             z = z.astype(compute_dtype)
         U = jax.lax.dot_general(                     # (width, width)
             z, z, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        Us.append(U * mask)          # keep time-diagonal 2N×2N blocks
-    H = jnp.concatenate(Us, axis=1)                  # (width, cb·width)
-    # Σ_i (P uᵢ)(P uᵢ)ᵀ per chunk: PS = P·[I;…;I]ᵀ folds the diagonal-
-    # block sum and the planar reorder into two stacked matmuls.
-    Y = dot(ps_ref[...], H)                          # (2N, cb·width)
-    Ut = dot(Y, bdpst_ref[...]) * scale              # (2N, cb·2N) = Ũs
-    # E(R) = Ũ + Jp Ũ Jpᵀ  (per chunk; right factor block-diagonal)
-    E = Ut + dot(jp_ref[...], dot(Ut, bdjt_ref[...]))
-    # correction (c cᴴ)∘R on E: E ← E∘M1 + rollN(E)∘M2
-    Wre = wre_ref[...]
-    Wim = wim_ref[...]
-    M1 = jnp.concatenate([jnp.concatenate([Wre, Wre], 1)] * 2, 0)
-    M2 = jnp.concatenate([jnp.concatenate([-Wim, -Wim], 1),
-                          jnp.concatenate([Wim, Wim], 1)], 0)
-    M1s = jnp.concatenate([M1] * cb, axis=1)
-    M2s = jnp.concatenate([M2] * cb, axis=1)
-    rolled = jnp.concatenate([E[N:, :], E[:N, :]], axis=0)
-    E = E * M1s + rolled * M2s
-    if fb:
-        # FB: ½(E + Fb E Fb), Fb = blockdiag(F, F), F the exchange
-        # matrix (flip2(X) = F·X·F, and Fb is symmetric)
-        E = 0.5 * (E + dot(fb2_ref[...], dot(E, bdfb_ref[...])))
-    for c in range(cb):
-        e_ref[c] = E[:, c * n2:(c + 1) * n2]
+        U32 = U[:n2, :n2]
+        for i in range(1, tp):
+            U32 = U32 + U[i * n2:(i + 1) * n2, i * n2:(i + 1) * n2]
+        Ut = dot(dot(Pm, U32), Pm.T) * scale         # planar Ũ
+        A, Bq = Ut[:N, :N], Ut[:N, N:]
+        Cq, D = Ut[N:, :N], Ut[N:, N:]
+        rr = A + D                                   # Rr (sym)
+        ri = Cq - Bq                                 # Ri (antisym)
+        rr, ri = (rr * Wre - ri * Wim, rr * Wim + ri * Wre)
+        if fb:
+            rr = 0.5 * (rr + rr[::-1, ::-1])
+            ri = 0.5 * (ri - ri[::-1, ::-1])
+        top = jnp.concatenate([rr, -ri], axis=-1)
+        bot = jnp.concatenate([ri, rr], axis=-1)
+        e_ref[c] = jnp.concatenate([top, bot], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -172,29 +165,7 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
          ci[:, None] * cr[None, :] - cr[:, None] * ci[None, :])
 
     n2 = 2 * N
-    Pm = _perm_interleaved_to_planar(N)
-    S_all = np.concatenate([np.eye(n2, dtype=np.float32)] * tp, axis=0)
-    PS = Pm @ S_all.T                                    # (2N, width)
-    BDPSt = _blockdiag_np(PS.T, cb)                      # (cb·w, cb·2N)
-    mask = _blockdiag_np(np.ones((n2, n2), np.float32), tp)
-    Jp = np.zeros((n2, n2), np.float32)
-    Jp[:N, N:] = -np.eye(N)
-    Jp[N:, :N] = np.eye(N)
-    BDJt = _blockdiag_np(Jp.T, cb)
-    # E(J conj(R) J) = Fc E Fc with Fc = blockdiag(F, −F): the −F on
-    # the imag half carries the conjugation (blockdiag(F, F) flips
-    # without conjugating — wrong FB).
-    F = np.eye(N, dtype=np.float32)[::-1]
-    Fb = np.zeros((n2, n2), np.float32)
-    Fb[:N, :N] = F
-    Fb[N:, N:] = -F
-    BDFb = _blockdiag_np(Fb, cb)
-
-    const = lambda a: pl.BlockSpec(  # noqa: E731
-        a.shape, lambda i: tuple(0 for _ in a.shape),
-        memory_space=pltpu.VMEM)
-    consts = [jnp.asarray(a) for a in
-              (mask, PS, BDPSt, Jp, BDJt, Fb, BDFb)]
+    Pm = jnp.asarray(_perm_interleaved_to_planar(N))
     rows = hop // tp
     E = pl.pallas_call(
         functools.partial(_cov_kernel, N=N, hop=hop, tp=tp, cb=cb,
@@ -204,7 +175,8 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
         in_specs=[
             pl.BlockSpec((cb * rows, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *[const(a) for a in consts],
+            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i: (0, 0),
@@ -214,7 +186,7 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n2, n2), jnp.float32),
         interpret=interpret,
-    )(xil[: (n * hop) // tp], *consts, W[0], W[1])
+    )(xil[: (n * hop) // tp], Pm, W[0], W[1])
 
     if n_win == 1:
         return E[:B]

@@ -74,14 +74,13 @@ def wideband_steering_stack(cfg: DoaConfig, A_fn) -> np.ndarray:
     return np.stack(mats, axis=0)
 
 
-def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
-    """x: Cpx[T, N], A_stack: Cpx[F, G, N], W: DFT Cpx[F, F] →
-    fused spectrum f32[B, G].
+def subband_covariances(x: Cpx, W: Cpx, cfg: DoaConfig) -> Cpx:
+    """x: Cpx[T, N] → per-subband windowed covariances Cpx[F, B, N, N].
 
-    Subband snapshot length = cfg.snapshot_size // F input samples worth of
-    subband samples, so one fused output window spans the same wall-clock
-    as a narrowband window. Overlap is applied in the subband domain.
-    """
+    Subband snapshot length = cfg.snapshot_size // F input samples worth
+    of subband samples, so one fused output window spans the same
+    wall-clock as a narrowband window. Overlap applies in the subband
+    domain."""
     F = W.shape[0]
     S = cfg.snapshot_size
     if S % F:
@@ -89,19 +88,23 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
     S_sub = S // F
     hop_sub = max(S_sub - cfg.overlap // F, 1)
     xs = channelize_cpx(x, W)                       # (F, M, N)
-    Fb, M, N = xs.shape
+    return jax.vmap(lambda sub: cpx_ops.cov_from_stream_cpx(
+        sub, S_sub, S_sub - hop_sub, fb_average=False))(xs)
 
-    # Per-subband windowed covariance: vmap the chunked path over subbands.
-    def cov_one(sub):
-        return cpx_ops.cov_from_stream_cpx(
-            sub, S_sub, S_sub - hop_sub,
-            fb_average=False)
 
-    R = jax.vmap(cov_one)(xs)                       # Cpx (F, B, N, N)
+def subband_subspaces(R: Cpx, cfg: DoaConfig):
+    """Per-subband embedded signal subspaces f32[F, B, 2N, 2K]
+    (power path)."""
+    return jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
+        r, cfg.num_sources, iters=cfg.power_iters))(R)
 
+
+def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
+    """→ (P_sub f32[F, B, G] max-normalized per subband,
+          V f32[F, B, 2N, 2K] | None)."""
+    R = subband_covariances(x, W, cfg)
     if cfg.subspace_method == "power":
-        V = jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
-            r, cfg.num_sources, iters=cfg.power_iters))(R)
+        V = subband_subspaces(R, cfg)
 
         def spec_one(v, Af):
             den = jnp.maximum(
@@ -109,15 +112,119 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
             P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
             return P / jnp.max(P, axis=-1, keepdims=True)
 
-        P_sub = jax.vmap(spec_one)(V, A_stack)      # (F, B, G)
-    else:
-        M_proj = jax.vmap(
-            lambda r: cpx_ops.noise_projector_cpx(r, cfg.num_sources))(R)
+        return jax.vmap(spec_one)(V, A_stack), V
+    M_proj = jax.vmap(
+        lambda r: cpx_ops.noise_projector_cpx(r, cfg.num_sources))(R)
 
-        def spec_one(mp, Af):
-            den = cpx_ops.music_denominator_cpx(mp, Af)
-            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
-            return P / jnp.max(P, axis=-1, keepdims=True)
+    def spec_one(mp, Af):
+        den = cpx_ops.music_denominator_cpx(mp, Af)
+        P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        return P / jnp.max(P, axis=-1, keepdims=True)
 
-        P_sub = jax.vmap(spec_one)(M_proj, A_stack)  # (F, B, G)
+    return jax.vmap(spec_one)(M_proj, A_stack), None
+
+
+def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
+    """x: Cpx[T, N], A_stack: Cpx[F, G, N], W: DFT Cpx[F, F] →
+    fused spectrum f32[B, G] (mean of max-normalized subband spectra)."""
+    P_sub, _ = _subband_spectra(x, A_stack, W, cfg)
     return jnp.mean(P_sub, axis=0)                  # incoherent fusion
+
+
+def subband_spacings(cfg: DoaConfig) -> np.ndarray:
+    """Effective per-subband element spacings d·(1 + f·fractional_bw)."""
+    freqs = subband_center_freqs(cfg.wideband.num_subbands)
+    fbw = cfg.wideband.fractional_bw
+    return (cfg.geometry.norm_spacing
+            * (1.0 + freqs * fbw)).astype(np.float32)
+
+
+def wideband_music_hierarchical_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
+                                    cfg: DoaConfig, num_peaks: int,
+                                    x_rng=(0.0, 180.0), grid2d=None,
+                                    half_width_deg: float = 1.5,
+                                    num_points: int = 17):
+    """Coarse→refine WIDEBAND MUSIC (power path): fuse the coarse
+    subband spectra, find peak basins, then refine each peak on an
+    on-device micro-grid of the FUSED metric — every subband's exact
+    denominator is evaluated at its own effective spacing (the subband
+    steering stretch), normalized by its coarse spectrum max, and
+    averaged. Unlocks the wideband × hierarchical config cell.
+
+    → (values f32[B, k], angles f32[B, k] (1-D) or (B, k, 2) az/el)."""
+    from doa_tpu.ops.hierarchical import (
+        ula_denominator_at, ura_denominator_at)
+    from doa_tpu.ops.peaks import find_local_max, find_local_max_2d
+
+    P_sub, V = _subband_spectra(x, A_stack, W, cfg)
+    if V is None:
+        raise ValueError("wideband hierarchical requires "
+                         "subspace_method='power'")
+    fused = jnp.mean(P_sub, axis=0)                  # (B, G)
+    spac = jnp.asarray(subband_spacings(cfg))        # (F,)
+    # Subband normalizers: coarse max of each subband's UNnormalized
+    # spectrum is 1 after _subband_spectra's normalization, so the
+    # refine metric just averages max-normalized reciprocals — but the
+    # normalization constant must come from the same scale: recover it
+    # from the coarse denominator minimum instead.
+    den_min = jax.vmap(lambda v, Af: jnp.min(jnp.maximum(
+        cpx_ops.music_denominator_subspace(v, Af), 0.0), axis=-1))(
+            V, A_stack)                              # (F, B)
+    den_min = jnp.maximum(den_min, jnp.finfo(jnp.float32).tiny)
+
+    is_2d = grid2d is not None
+
+    def fused_metric(theta=None, az=None, el=None):
+        """Mean over subbands of den_min_f / den_f(angle) ∈ (0, 1]."""
+        if is_2d:
+            den = jax.vmap(
+                lambda v, d: ura_denominator_at(
+                    v, az, el, cfg.geometry.shape, d),
+                in_axes=(0, 0))(V, spac)             # (F, B, ...)
+        else:
+            den = jax.vmap(
+                lambda v, d: ula_denominator_at(v, theta, d),
+                in_axes=(0, 0))(V, spac)
+        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        extra = (1,) * (den.ndim - 2)
+        return jnp.mean(den_min.reshape(den_min.shape + extra) / den,
+                        axis=0)                      # (B, ...)
+
+    if is_2d:
+        P2 = fused.reshape(fused.shape[0], grid2d.num_az, grid2d.num_el)
+        vals, az_c, el_c = find_local_max_2d(
+            P2, num_peaks, (grid2d.az_lo_deg, grid2d.az_hi_deg),
+            (grid2d.el_lo_deg, grid2d.el_hi_deg), refine=False)
+        Wp = num_points
+        offs = jnp.linspace(-half_width_deg, half_width_deg, Wp)
+        azg = az_c[..., None, None] + offs[:, None]
+        elg = el_c[..., None, None] + offs[None, :]
+        azg, elg = jnp.broadcast_arrays(azg, elg)    # (B, k, Wp, Wp)
+        m = fused_metric(az=azg, el=elg)
+        B, k = az_c.shape
+        i = jnp.argmax(m.reshape(B, k, Wp * Wp), axis=-1)
+        az = jnp.take_along_axis(
+            azg.reshape(B, k, Wp * Wp), i[..., None], -1)[..., 0]
+        el = jnp.take_along_axis(
+            elg.reshape(B, k, Wp * Wp), i[..., None], -1)[..., 0]
+        return vals, jnp.stack([az, el], axis=-1)
+
+    vals, coarse = find_local_max(fused, num_peaks, x_rng[0], x_rng[1],
+                                  refine=False)
+    offs = jnp.linspace(-half_width_deg, half_width_deg, num_points)
+    theta = coarse[..., None] + offs                 # (B, k, Wp)
+    m = fused_metric(theta=theta)                    # (B, k, Wp)
+    i = jnp.argmax(m, axis=-1)
+    Wp = num_points
+    im = jnp.clip(i - 1, 0, Wp - 1)
+    ip = jnp.clip(i + 1, 0, Wp - 1)
+    mm_ = jnp.take_along_axis(m, im[..., None], -1)[..., 0]
+    m0 = jnp.take_along_axis(m, i[..., None], -1)[..., 0]
+    mp = jnp.take_along_axis(m, ip[..., None], -1)[..., 0]
+    curv = mm_ - 2.0 * m0 + mp
+    delta = jnp.where(jnp.abs(curv) > 0, 0.5 * (mm_ - mp) / curv, 0.0)
+    delta = jnp.where((i > 0) & (i < Wp - 1),
+                      jnp.clip(delta, -1.0, 1.0), 0.0)
+    step = 2.0 * half_width_deg / (Wp - 1)
+    t0 = jnp.take_along_axis(theta, i[..., None], -1)[..., 0]
+    return vals, t0 + delta * step

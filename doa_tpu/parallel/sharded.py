@@ -127,7 +127,17 @@ def _local_peaks_merge_1d(P_loc, num_max_vals: int, x_rng, refine: bool):
 def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                            refine_peaks: bool = True):
     """→ callable(x: complex (T, N) | Cpx, correction) → dict of sharded
-    outputs. T must be divisible by (n_snap * hop)."""
+    outputs. T must be divisible by (n_snap * hop).
+
+    Wideband configs use the EXPERT-PARALLEL layout (SURVEY §2.5 EP):
+    the time axis is snap-sharded as usual, each device channelizes its
+    local block, the SUBBAND axis is sharded over the mesh's second
+    axis (each device owns F/n_grid subbands' covariance → subspace →
+    spectrum chain against its slice of the per-subband steering
+    stack), and the incoherent fusion is one psum over that axis —
+    comm volume O(B·G) per device, independent of F."""
+    if cfg.wideband.enabled:
+        return _build_sharded_wideband(cfg, mesh, refine_peaks)
     A_host, x_rng = _steering_matrix(cfg)
     S, hop, overlap = cfg.snapshot_size, cfg.hop, cfg.overlap
     fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
@@ -276,6 +286,138 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             cr = jnp.asarray(c.real.astype(np.float32))
             ci = jnp.asarray(c.imag.astype(np.float32))
         return jitted(xr, xi, cr, ci, Ar_d, Ai_d)
+
+    call.jitted = jitted
+    call.mesh = mesh
+    return call
+
+
+def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
+                            refine_peaks: bool = True):
+    """EP-sharded wideband MUSIC (see build_sharded_pipeline)."""
+    from doa_tpu.ops.wideband import (
+        dft_matrix, wideband_steering_stack)
+    from doa_tpu.pipeline import _steering_fn
+
+    A_host, x_rng = _steering_matrix(cfg)  # narrowband grid (angle map)
+    F = cfg.wideband.num_subbands
+    S = cfg.snapshot_size
+    if S % F:
+        raise ValueError("snapshot_size must be divisible by subbands")
+    S_sub = S // F
+    hop_sub = max(S_sub - cfg.overlap // F, 1)
+    n_ep = mesh.shape[GRID_AXIS]
+    if F % n_ep:
+        raise ValueError(f"subbands {F} not divisible by EP axis {n_ep}")
+    F_loc = F // n_ep
+    is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+    W_host = dft_matrix(F)
+    A_stack = wideband_steering_stack(cfg, _steering_fn(cfg))
+
+    def _peaks(P_full):
+        if is_2d:
+            from doa_tpu.ops.peaks import find_local_max_2d
+
+            g2 = cfg.grid2d
+            P2 = P_full.reshape(P_full.shape[0], g2.num_az, g2.num_el)
+            v, az, el = find_local_max_2d(
+                P2, cfg.num_max_vals,
+                (g2.az_lo_deg, g2.az_hi_deg),
+                (g2.el_lo_deg, g2.el_hi_deg), refine=refine_peaks)
+            return v, jnp.stack([az, el], axis=-1)
+        return find_local_max(P_full, cfg.num_max_vals, x_rng[0],
+                              x_rng[1], refine=refine_peaks)
+
+    def shard_fn(xr, xi, cr, ci, Wr, Wi, Asr, Asi):
+        from doa_tpu.ops.wideband import channelize_cpx
+
+        ep = jax.lax.axis_index(GRID_AXIS)
+        # local channelization of the local time block (frames are local)
+        xs = channelize_cpx(Cpx(xr, xi), Cpx(Wr, Wi))   # (F, M_loc, N)
+        xs = Cpx(jax.lax.dynamic_slice_in_dim(xs.re, ep * F_loc, F_loc),
+                 jax.lax.dynamic_slice_in_dim(xs.im, ep * F_loc, F_loc))
+
+        def cov_one(sub):
+            return cpx_ops.cov_from_stream_cpx(
+                sub, S_sub, S_sub - hop_sub, fb_average=False)
+
+        R = jax.vmap(cov_one)(xs)                       # (F_loc, B, N, N)
+        R = cpx_ops.apply_correction_to_cov(R, Cpx(cr, ci))
+        A_loc = Cpx(Asr, Asi)                           # (F_loc, G, N)
+        if cfg.subspace_method == "power":
+            V = jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
+                r, cfg.num_sources, iters=cfg.power_iters))(R)
+
+            def spec_one(v, Af):
+                den = jnp.maximum(
+                    cpx_ops.music_denominator_subspace(v, Af), 0.0)
+                P = 1.0 / jnp.maximum(den,
+                                      jnp.finfo(jnp.float32).tiny)
+                return P / jnp.max(P, axis=-1, keepdims=True)
+
+            P_sub = jax.vmap(spec_one)(V, A_loc)        # (F_loc, B, G)
+        else:
+            Mp = jax.vmap(lambda r: cpx_ops.noise_projector_cpx(
+                r, cfg.num_sources))(R)
+
+            def spec_one(mp, Af):
+                den = cpx_ops.music_denominator_cpx(mp, Af)
+                P = 1.0 / jnp.maximum(den,
+                                      jnp.finfo(jnp.float32).tiny)
+                return P / jnp.max(P, axis=-1, keepdims=True)
+
+            P_sub = jax.vmap(spec_one)(Mp, A_loc)
+        # EP fusion: one psum of the local subband-sum over the EP axis.
+        P = jax.lax.psum(jnp.sum(P_sub, axis=0), GRID_AXIS) / F
+        v, l = _peaks(P)
+        return {"spectrum_music": P, "peak_values_music": v,
+                "peak_angles_music": l}
+
+    out_specs = {"spectrum_music": P(SNAP_AXIS, None),
+                 "peak_values_music": P(SNAP_AXIS, None),
+                 "peak_angles_music": P(SNAP_AXIS, None)}
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
+                  P(), P(), P(GRID_AXIS, None, None),
+                  P(GRID_AXIS, None, None)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    A_sh = NamedSharding(mesh, P(GRID_AXIS, None, None))
+    Asr_d = jax.device_put(
+        np.ascontiguousarray(A_stack.real.astype(np.float32)), A_sh)
+    Asi_d = jax.device_put(
+        np.ascontiguousarray(A_stack.imag.astype(np.float32)), A_sh)
+    Wr_d = jax.device_put(W_host.real.astype(np.float32))
+    Wi_d = jax.device_put(W_host.imag.astype(np.float32))
+
+    def call(x, correction=None):
+        n_snap = mesh.shape[SNAP_AXIS]
+        if isinstance(x, Cpx):
+            xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
+        else:
+            from doa_tpu.io.native import split_c64
+            xr_h, xi_h = split_c64(np.asarray(x))
+        T = xr_h.shape[0]
+        if T % (n_snap * S):
+            raise ValueError(
+                f"T={T} must be divisible by n_snap*S={n_snap * S} on "
+                "the wideband EP path")
+        x_sh = NamedSharding(mesh, P(SNAP_AXIS, None))
+        xr = jax.device_put(xr_h, x_sh)
+        xi = jax.device_put(xi_h, x_sh)
+        N = xr_h.shape[1]
+        if correction is None:
+            cr = jnp.ones((N,), jnp.float32)
+            ci = jnp.zeros((N,), jnp.float32)
+        else:
+            c = np.asarray(correction)
+            cr = jnp.asarray(c.real.astype(np.float32))
+            ci = jnp.asarray(c.imag.astype(np.float32))
+        return jitted(xr, xi, cr, ci, Wr_d, Wi_d, Asr_d, Asi_d)
 
     call.jitted = jitted
     call.mesh = mesh

@@ -42,6 +42,7 @@ class DoaResult:
     root_music_angles: Optional[jax.Array] = None  # f32[B, K] deg
     esprit_angles: Optional[jax.Array] = None      # f32[B, K] deg
     covariance: Optional[jax.Array] = None         # c64[B, N', N']
+    subspace_residual: Optional[jax.Array] = None  # f32[B] (guard mode)
 
 
 def _steering_fn(cfg: DoaConfig):

@@ -146,11 +146,13 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         V_emb = None
         Vp = None
         B_out = (E_win if R is None else R.re).shape[0]
+        sub_res = None
         if (use_power
                 and (Estimator.MUSIC in cfg.estimators or want_root)):
             if E_win is not None:
                 Vp = _subspace_packed(E_win)
-                if (cfg.scan_mode != "pallas" or want_root):
+                if (cfg.scan_mode != "pallas" or want_root
+                        or cfg.subspace_check):
                     from doa_tpu.ops.pallas.subspace import (
                         packed_to_batched)
                     V_emb = packed_to_batched(
@@ -159,6 +161,14 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             else:
                 V_emb = cpx_ops.signal_subspace_embedded(
                     R, cfg.num_sources, iters=cfg.power_iters)
+            if cfg.subspace_check:
+                from doa_tpu.cpx import embed_hermitian
+                E_chk = (E_win if E_win is not None
+                         else embed_hermitian(R))
+                V_emb, sub_res = cpx_ops.guarded_signal_subspace(
+                    E_chk, V_emb, cfg.num_sources,
+                    tol=cfg.subspace_tol)
+                Vp = None   # guarded V replaces the packed fast path
         hier = cfg.scan_mode == "hierarchical" and use_power
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
@@ -225,6 +235,28 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
                 P = P / jnp.max(P, axis=-1, keepdims=True)
             elif est == Estimator.CAPON:
+                if (cfg.scan_mode == "hierarchical"
+                        and cfg.geometry.kind == "ula"):
+                    from doa_tpu.ops.hierarchical import (
+                        capon_hierarchical_ula)
+                    v, l = capon_hierarchical_ula(
+                        R, A, cfg.num_max_vals,
+                        cfg.geometry.norm_spacing,
+                        diag_load=cfg.capon_diag_load,
+                        coarse_rng=x_rng)
+                    pvals[est.value] = v
+                    pangs[est.value] = l
+                    continue
+                if cfg.scan_mode == "hierarchical" and is_2d:
+                    from doa_tpu.ops.hierarchical import (
+                        capon_hierarchical_ura)
+                    v, az, el = capon_hierarchical_ura(
+                        R, A, cfg.num_max_vals, cfg.geometry.shape,
+                        cfg.geometry.norm_spacing, cfg.grid2d,
+                        diag_load=cfg.capon_diag_load)
+                    pvals[est.value] = v
+                    pangs[est.value] = jnp.stack([az, el], axis=-1)
+                    continue
                 P = cpx_ops.capon_spectrum_cpx(
                     R, A, diag_load=cfg.capon_diag_load)
             else:
@@ -250,6 +282,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             root_music_angles=root_angles,
             esprit_angles=esprit_angles,
             covariance=((R.re, R.im) if return_covariance else None),
+            subspace_residual=sub_res,
         )
 
     def _fast_cov(xil, cr, ci):
@@ -265,19 +298,27 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
 
     def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
         if wb:
-            from doa_tpu.ops.wideband import wideband_music_cpx
-            A = Cpx(Ar, Ai)
+            from doa_tpu.ops.wideband import (
+                wideband_music_cpx, wideband_music_hierarchical_cpx)
             spectra, pvals, pangs = {}, {}, {}
             x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
             Wr, Wi, Asr, Asi = wb_extra
-            P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg)
-            v, l = _peaks(P)
-            spectra["music"] = P
+            if cfg.scan_mode == "hierarchical" and use_power:
+                v, l = wideband_music_hierarchical_cpx(
+                    x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg,
+                    cfg.num_max_vals, x_rng=x_rng,
+                    grid2d=cfg.grid2d if is_2d else None)
+            else:
+                P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi),
+                                       cfg)
+                v, l = _peaks(P)
+                spectra["music"] = P
             pvals["music"] = v
             pangs["music"] = l
             return dict(spectra=spectra, peak_values=pvals,
                         peak_angles=pangs, root_music_angles=None,
-                        esprit_angles=None, covariance=None)
+                        esprit_angles=None, covariance=None,
+                        subspace_residual=None)
         if fast_cov:
             from doa_tpu.ops.pallas.cov_embedded import to_interleaved
             R, E_win = _fast_cov(to_interleaved(xr, xi), cr, ci)

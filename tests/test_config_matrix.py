@@ -67,8 +67,6 @@ def test_ura_combo(scan, wb):
         wideband=(WidebandSpec(num_subbands=4, fractional_bw=0.1)
                   if wb else WidebandSpec()),
         num_max_vals=1, scan_mode=scan)
-    if wb and scan == "hierarchical":
-        pytest.skip("wideband path is dense-scan only")
     x = synth_ura_iq([SourceSpec(az_deg=20.0, el_deg=40.0)],
                      (4, 4), 0.5, 8 * 128, snr_db=15, seed=4)
     res = build_pipeline_tpu(cfg)(x)

@@ -147,3 +147,52 @@ def test_pipeline_hierarchical_2d():
             d = min(np.hypot(ang[b, k, 0] - t[0], ang[b, k, 1] - t[1])
                     for t in truths)
             assert d < 0.5, ang[b]
+
+
+def test_capon_hierarchical_ula_accuracy():
+    import dataclasses
+    from doa_tpu.configs import Estimator
+    from doa_tpu.io import SourceSpec, synth_ula_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+    from doa_tpu import PRESETS
+
+    cfg = dataclasses.replace(
+        PRESETS["c2_ula8_2src"], estimators=(Estimator.CAPON,),
+        scan_mode="hierarchical")
+    x = synth_ula_iq([SourceSpec(theta_deg=61.3, freq_norm=0.1),
+                      SourceSpec(theta_deg=112.6, freq_norm=0.31)],
+                     8, 0.5, 16 * 2048, snr_db=15, seed=2)
+    res = build_pipeline_tpu(cfg)(x)
+    a = np.sort(np.asarray(res.peak_angles["capon"]), -1)
+    np.testing.assert_allclose(a.mean(0), [61.3, 112.6], atol=0.25)
+
+
+def test_wideband_hierarchical_ula_accuracy():
+    import dataclasses
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec1D, WidebandSpec)
+    from doa_tpu.io import SourceSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry("ula", 16, 0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=256),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+        num_max_vals=2, scan_mode="hierarchical")
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=58.7, freq_norm=0.0, bandwidth_norm=0.6),
+         SourceSpec(theta_deg=121.4, freq_norm=0.0, bandwidth_norm=0.6)],
+        16, 0.5, 32 * 1024, snr_db=15, seed=3, fractional_bw=0.1)
+    dense = build_pipeline_tpu(dataclasses.replace(
+        cfg, scan_mode="dense"))(x)
+    hier = build_pipeline_tpu(cfg)(x)
+    a_d = np.sort(np.asarray(dense.peak_angles["music"]), -1).mean(0)
+    a_h = np.sort(np.asarray(hier.peak_angles["music"]), -1).mean(0)
+    np.testing.assert_allclose(a_h, [58.7, 121.4], atol=0.5)
+    # refinement must not be worse than the coarse dense grid
+    err_d = np.abs(a_d - [58.7, 121.4]).max()
+    err_h = np.abs(a_h - [58.7, 121.4]).max()
+    assert err_h <= err_d + 0.05

@@ -91,3 +91,50 @@ def test_pipeline_jacobi_matches_eigh():
     np.testing.assert_allclose(
         np.asarray(r_j.peak_angles["music"]),
         np.asarray(r_e.peak_angles["music"]), atol=0.05)
+
+
+def test_subspace_guard_flags_and_fixes_pathological_spread():
+    """Huge signal-eigenvalue spread + few iterations: the raw power
+    path degrades; the guard's residual flags it and the eigh fallback
+    restores eigh-path angles (VERDICT r1 item 7)."""
+    import dataclasses
+    from doa_tpu import PRESETS
+    from doa_tpu.io import SourceSpec, synth_ula_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    # amplitude ratio 30 → embedded eigenvalue spread ~900 ≫ the NS
+    # envelope at 4 power iterations
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1, amplitude=30.0),
+         SourceSpec(theta_deg=110.0, freq_norm=0.31, amplitude=1.0)],
+        8, 0.5, 16 * 2048, snr_db=20, seed=6)
+    base = dataclasses.replace(PRESETS["c2_ula8_2src"],
+                               estimators=(PRESETS["c2_ula8_2src"]
+                                           .estimators[0],),
+                               power_iters=4)
+    eigh_cfg = dataclasses.replace(base, subspace_method="eigh")
+    guard_cfg = dataclasses.replace(base, subspace_check=True)
+
+    a_eigh = np.sort(np.asarray(
+        build_pipeline_tpu(eigh_cfg)(x).peak_angles["music"]), -1)
+    res_guard = build_pipeline_tpu(guard_cfg)(x)
+    a_guard = np.sort(np.asarray(res_guard.peak_angles["music"]), -1)
+    resid = np.asarray(res_guard.subspace_residual)
+    assert resid is not None and resid.shape[0] == a_guard.shape[0]
+    # guarded result must agree with eigh even where raw power would not
+    np.testing.assert_allclose(a_guard, a_eigh, atol=0.2)
+
+
+def test_subspace_residual_small_when_converged():
+    import dataclasses
+    from doa_tpu import PRESETS
+    from doa_tpu.io import SourceSpec, synth_ula_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    x = synth_ula_iq([SourceSpec(theta_deg=60.0, freq_norm=0.1),
+                      SourceSpec(theta_deg=110.0, freq_norm=0.31)],
+                     8, 0.5, 8 * 2048, snr_db=10, seed=1)
+    cfg = dataclasses.replace(PRESETS["c2_ula8_2src"],
+                              subspace_check=True)
+    res = build_pipeline_tpu(cfg)(x)
+    assert np.asarray(res.subspace_residual).max() < 0.05

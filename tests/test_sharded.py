@@ -136,3 +136,34 @@ def test_sharded_2d_planar():
             d = min(np.hypot(ang[b, k, 0] - t[0], ang[b, k, 1] - t[1])
                     for t in truths)
             assert d < 5.0, ang[b]
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(4, 2), MeshSpec(2, 4)])
+def test_sharded_wideband_ep_parity(spec):
+    """EP-sharded wideband (subbands over the second mesh axis) must
+    match the single-device wideband pipeline."""
+    from doa_tpu.configs import WidebandSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=128),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+        num_max_vals=2)
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=117.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        8, 0.5, 16 * 1024, snr_db=12, seed=7, fractional_bw=0.1)
+    mesh = make_mesh(spec)
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    ref = build_pipeline_tpu(cfg)(x)
+    P_s = np.asarray(out["spectrum_music"])
+    P_r = np.asarray(ref.spectra["music"])
+    assert P_s.shape == P_r.shape
+    np.testing.assert_allclose(P_s, P_r, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["peak_angles_music"]), -1),
+        np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=0.05)
