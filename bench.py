@@ -2,12 +2,23 @@
 
 Headline metric (BASELINE.json): Covariance + eigendecomposition + MUSIC
 spectrum-scan snapshots/s per chip on a 16-element ULA, 1024-sample
-snapshots, 1024-angle grid — the full fused pipeline_tpu program (the
-split-complex TPU path), data resident in HBM.
+snapshots, 1024-angle grid — the full pipeline over HBM-resident data.
+
+Two fencing disciplines (docs/PERF.md):
+  * pipelined (the headline): enqueue `iters` calls, fence once — device
+    programs execute in launch order, so fetching the last output
+    proves all completed. This is the steady-state streaming number;
+    per-call dispatch (~25 ms through the axon relay on this container)
+    amortizes away exactly as it does in production streaming.
+  * latency: fence every call (reported on stderr for reference).
+
+Tries the fused Pallas path first (interleaved ingest → E(R) kernel →
+VMEM subspace → packed scan) and falls back to the pure-XLA path if the
+kernels fail to compile on the available toolchain. A repo-local
+persistent compilation cache makes recompiles cheap across processes.
 
 `vs_baseline` is the multiple of REAL-TIME at the north-star operating
-point (10 Msps/channel → 9765.625 snapshots/s): vs_baseline ≥ 10 meets
-the "≥10× real-time on one v5e chip" target.
+point (10 Msps/channel → 9765.625 snapshots/s): ≥10 meets the target.
 
 Prints exactly one JSON line.
 """
@@ -23,8 +34,7 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _run(T: int) -> float:
-    """→ snapshots/s for a T-samples-per-call pipeline."""
+def _build(T: int, fused: bool):
     import jax
     import jax.numpy as jnp
 
@@ -32,61 +42,87 @@ def _run(T: int) -> float:
         ArrayGeometry, DoaConfig, Estimator, GridSpec1D)
     from doa_tpu.pipeline_tpu import build_pipeline_tpu
 
-    SNAP = 1024
-    N = 16
-    GRID = 1024
-    B = T // SNAP
-
+    SNAP, N, GRID = 1024, 16, 1024
     cfg = DoaConfig(
         geometry=ArrayGeometry(kind="ula", num_elements=N,
                                norm_spacing=0.5),
-        snapshot_size=SNAP,
-        overlap=0,
-        num_sources=2,
-        estimators=(Estimator.MUSIC,),
-        grid=GridSpec1D(num_points=GRID),
+        snapshot_size=SNAP, overlap=0, num_sources=2,
+        estimators=(Estimator.MUSIC,), grid=GridSpec1D(num_points=GRID),
         num_max_vals=2,
-    )
+        scan_mode="pallas" if fused else "dense",
+        cov_impl="pallas" if fused else "xla")
     pipe = build_pipeline_tpu(cfg)
     Ar, Ai = pipe.steering_planes
-
-    # Device-resident synthetic planes (content irrelevant for throughput;
-    # random so eigh/subspace see generic Hermitian matrices).
-    _log(f"generating device data T=2^{T.bit_length() - 1}")
     key = jax.random.key(0)
-    kr, ki = jax.random.split(key)
-    xr = jax.random.normal(kr, (T, N), jnp.float32)
-    xi = jax.random.normal(ki, (T, N), jnp.float32)
     cr = jnp.ones((N,), jnp.float32)
     ci = jnp.zeros((N,), jnp.float32)
+    if fused and pipe.fast_path:
+        xil = jax.random.normal(key, (T // 4, 128), jnp.float32)
+        call = lambda: pipe.jitted_ilv(xil, cr, ci, Ar, Ai)  # noqa: E731
+    else:
+        kr, ki = jax.random.split(key)
+        xr = jax.random.normal(kr, (T, N), jnp.float32)
+        xi = jax.random.normal(ki, (T, N), jnp.float32)
+        call = lambda: pipe.jitted(xr, xi, cr, ci, Ar, Ai)  # noqa: E731
+    return call
 
-    def one_call():
-        out = pipe.jitted(xr, xi, cr, ci, Ar, Ai)
-        # Force a device→host fetch of a (tiny) result: on remote/async
-        # backends block_until_ready can return at enqueue time; a real
-        # roundtrip is the only trustworthy completion fence.
-        return np.asarray(out["peak_angles"]["music"])
 
-    _log("compiling + warming")
-    one_call()
-    one_call()
+def _run(T: int, fused: bool) -> float:
+    import jax
 
-    _log("timing")
-    iters = 10
+    SNAP = 1024
+    B = T // SNAP
+    call = _build(T, fused)
+
+    def fence(out):
+        # On remote/async backends block_until_ready can return at
+        # enqueue time; a device→host fetch is the only real fence.
+        leaf = jax.tree_util.tree_leaves(out["peak_angles"])[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+    _log(f"compiling + warming (fused={fused})")
+    fence(call())
+    fence(call())
+
+    _log("timing: latency-fenced")
+    iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        one_call()
-    dt = time.perf_counter() - t0
-    return B * iters / dt
+        fence(call())
+    lat = (time.perf_counter() - t0) / iters
+    _log(f"latency-fenced: {B / lat:.0f} snapshots/s "
+         f"({lat * 1e3:.1f} ms/call)")
+
+    _log("timing: pipelined")
+    iters = 16
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = call()
+    fence(out)
+    dt = (time.perf_counter() - t0) / iters
+    _log(f"pipelined: {B / dt:.0f} snapshots/s ({dt * 1e3:.2f} ms/call)")
+    return B / dt
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     SNAP = 1024
-    try:
-        snaps_per_s = _run(1 << 24)        # 16.8M samples/channel per call
-    except Exception as e:                  # e.g. OOM on smaller devices
-        _log(f"T=2^24 failed ({type(e).__name__}); retrying at 2^22")
-        snaps_per_s = _run(1 << 22)
+    snaps_per_s = None
+    for T, fused in ((1 << 24, True), (1 << 24, False),
+                     (1 << 22, False)):
+        try:
+            snaps_per_s = _run(T, fused)
+            break
+        except Exception as e:
+            _log(f"T=2^{T.bit_length() - 1} fused={fused} failed "
+                 f"({type(e).__name__}: {str(e)[:200]}); falling back")
+    if snaps_per_s is None:
+        raise SystemExit("all bench configs failed")
     realtime = 10e6 / SNAP                  # snapshots/s at 10 Msps
     print(json.dumps({
         "metric": "cov_eigh_music_snapshots_per_s_per_chip_16el",
