@@ -61,13 +61,6 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, out_ref, *,
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
 
     e = e_ref[...]                                   # (W, n2, n2)
-    # Per-window trace normalization (spectrum → O(1); powering can't
-    # overflow and NS operates near its basin).
-    ri = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 1)
-    eyeN = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
-    tr = jnp.sum(e * eyeN[None], axis=(-2, -1)) / n2     # (W,)
-    e = e * (1.0 / jnp.maximum(tr, 1e-30))[:, None, None]
 
     def blockdiag(blocks, r, c):
         """Concat-grid block-diagonal builder (Mosaic has no
@@ -81,10 +74,28 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, out_ref, *,
                 [blocks[i] if j == i else z for j in range(n)], axis=1)
             for i in range(n)], axis=0)
 
+    ri = jax.lax.broadcasted_iota(jnp.int32, (bd, bd), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (bd, bd), 1)
+    eyeBD = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
+    ones_row = jnp.ones((1, bd), f32)
+
     # --- E⁴ per group via block-diagonal squaring ---------------------
+    # Per-window trace normalization (spectrum → O(1): powering can't
+    # overflow, NS starts near its basin) happens ON THE BLOCK-DIAGONAL
+    # with 2-D ops only — a 3-D masked reduce over (W, n2, n2) reliably
+    # SIGABRTs this container's Mosaic toolchain (bisected to exactly
+    # that primitive; 3-D broadcasts are fine).
     E4s, Vs_g = [], []
     for g in range(ng):
         blk = blockdiag([e[g * gw + i] for i in range(gw)], n2, n2)
+        diag = dot(ones_row, blk * eyeBD)            # (1, bd) diagonal
+        scale_cols = []
+        for i in range(gw):
+            tr_i = jnp.sum(diag[:, i * n2:(i + 1) * n2]) / n2
+            scale_cols.append(
+                jnp.zeros((1, n2), f32)
+                + 1.0 / jnp.maximum(tr_i, 1e-30))
+        blk = blk * jnp.concatenate(scale_cols, axis=1)
         b2 = dot(blk, blk)
         b4 = dot(b2, b2)
         b4 = 0.5 * (b4 + b4.T)
