@@ -12,10 +12,11 @@ Two fencing disciplines (docs/PERF.md):
     amortizes away exactly as it does in production streaming.
   * latency: fence every call (reported on stderr for reference).
 
-Tries the fused Pallas path first (interleaved ingest → E(R) kernel →
-VMEM subspace → packed scan) and falls back to the pure-XLA path if the
-kernels fail to compile on the available toolchain. A repo-local
-persistent compilation cache makes recompiles cheap across processes.
+Measures the optimized XLA path first (the fastest on this container's
+toolchain — docs/PERF.md) and falls back to the fused Pallas path
+(interleaved ingest → E(R) kernel → VMEM subspace → packed scan), then
+to a smaller batch. A repo-local persistent compilation cache makes
+recompiles cheap across processes.
 
 `vs_baseline` is the multiple of REAL-TIME at the north-star operating
 point (10 Msps/channel → 9765.625 snapshots/s): ≥10 meets the target.
@@ -113,7 +114,11 @@ def main():
 
     SNAP = 1024
     snaps_per_s = None
-    for T, fused in ((1 << 24, True), (1 << 24, False),
+    # XLA-first: on this container's toolchain the optimized XLA path
+    # measures faster than the fused Pallas path (24.0 ms vs 26.8 ms at
+    # B=16384 — docs/PERF.md); the fused path is the fallback and stays
+    # config-selectable.
+    for T, fused in ((1 << 24, False), (1 << 24, True),
                      (1 << 22, False)):
         try:
             snaps_per_s = _run(T, fused)
