@@ -154,7 +154,7 @@ def evaluate_separation_sweep(cfg: DoaConfig, center_deg: float,
                 srcs, cfg.geometry.num_elements,
                 cfg.geometry.norm_spacing, T, snr_db=snr_db,
                 seed=seed * 1000 + tr * 13 + int(sep * 7),
-                correlated_pairs=[(0, 1)] if correlated else None)
+                correlated_pairs=[(0, 1)] if correlated else ())
             out = pipe(x)
             nwin += windows_per_trial
             cand: Dict[str, np.ndarray] = {
@@ -164,8 +164,11 @@ def evaluate_separation_sweep(cfg: DoaConfig, center_deg: float,
             if out.esprit_angles is not None:
                 cand["esprit"] = np.asarray(out.esprit_angles)
             for est, a in cand.items():
+                # gate = sep/3: a single MERGED peak (padded into both
+                # slots) sits sep/2 from each truth and must NOT count
+                # as resolving two sources.
                 e, r = _match_errors(a, truth,
-                                     gate_deg=max(2.0, sep))
+                                     gate_deg=max(0.5, sep / 3))
                 per_est.setdefault(est, []).append(e)
                 res_count.setdefault(est, []).append(r)
         for est in per_est:
