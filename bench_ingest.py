@@ -40,10 +40,49 @@ def bench_framer():
 
 def bench_udp():
     from doa_tpu.io.socket_source import loopback_rate_bench
-    gbps, loss = loopback_rate_bench(seconds=1.0)
-    print(json.dumps({"metric": "udp_loopback_ingest_GBps",
+    for native in (False, True):
+        gbps, loss = loopback_rate_bench(seconds=1.0, native=native)
+        print(json.dumps({
+            "metric": ("udp_loopback_ingest_native_GBps" if native
+                       else "udp_loopback_ingest_python_GBps"),
+            "value": round(gbps, 2),
+            "loss_fraction": round(loss, 3),
+            "note": "sender shares the container's 2 cores",
+            "vs_required_1p28": round(gbps / 1.28, 2)}), flush=True)
+
+
+def bench_native_drain():
+    """Pure receive rate of the C++ drain (sender pre-fills the kernel
+    buffer, so the 2-core sender bottleneck is excluded)."""
+    import ctypes
+    import socket
+
+    from doa_tpu.io.native import get_lib
+    from doa_tpu.io.socket_source import send_capture_udp
+    lib = get_lib()
+    if lib is None:                            # pragma: no cover
+        return
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 26)
+    s.bind(("127.0.0.1", 0))
+    x = np.ones((1 << 15, 16), np.complex64)
+    buf = np.empty(1 << 26, np.uint8)
+    stats = np.zeros(4, np.int64)
+    stats[3] = -1
+    rates = []
+    for trial in range(5):
+        send_capture_udp(x, s.getsockname(), seq0=trial * 1000)
+        time.sleep(0.05)
+        t0 = time.perf_counter()
+        w = lib.doa_udp_drain(
+            s.fileno(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size, buf.size, 0,
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        rates.append(w / (time.perf_counter() - t0) / 1e9)
+    s.close()
+    gbps = float(np.median(rates))
+    print(json.dumps({"metric": "udp_native_drain_GBps",
                       "value": round(gbps, 2),
-                      "loss_fraction": round(loss, 3),
                       "vs_required_1p28": round(gbps / 1.28, 2)}),
           flush=True)
 
@@ -51,3 +90,4 @@ def bench_udp():
 if __name__ == "__main__":
     bench_framer()
     bench_udp()
+    bench_native_drain()

@@ -48,6 +48,11 @@ def _build_and_load():
     lib.doa_frame_block.argtypes = [fp, ctypes.c_int64, fp, ctypes.c_int64,
                                     ctypes.c_int64, fp, fp, ctypes.c_int]
     lib.doa_frame_block.restype = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.doa_udp_drain.argtypes = [ctypes.c_int, u8p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int, i64p]
+    lib.doa_udp_drain.restype = ctypes.c_int64
     return lib
 
 

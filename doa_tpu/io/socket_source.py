@@ -116,6 +116,55 @@ class UdpSource:
                     fill = 0
 
 
+class NativeUdpSource(UdpSource):
+    """UdpSource with the receive loop in native C++ (GIL-free,
+    native/framer.cpp::doa_udp_drain): the pure-Python loop tops out
+    below the 1.28 GB/s north-star ingest rate on 2 cores; the native
+    drain copies payloads straight into a contiguous block buffer and
+    does the sequence-gap accounting in C. Falls back to the Python
+    loop if the native library is unavailable."""
+
+    def _run(self):
+        import ctypes
+
+        from doa_tpu.io.native import get_lib
+        lib = get_lib()
+        if lib is None:                       # pragma: no cover
+            return super()._run()
+        N = self._N
+        # Python's settimeout puts the fd in non-blocking mode, which
+        # makes the C recv() fail EAGAIN; the native loop polls, so use
+        # a plain blocking socket.
+        self._sock.settimeout(None)
+        block_bytes = self._block * N * 8
+        buf = np.empty(block_bytes, np.uint8)
+        buf_ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        cstats = np.zeros(4, np.int64)
+        cstats[3] = -1                        # last_seq carries across
+        cstats_ptr = cstats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        fd = self._sock.fileno()
+        fill = 0
+        while not self._stop.is_set():
+            off_ptr = ctypes.cast(
+                ctypes.addressof(buf_ptr.contents) + fill,
+                ctypes.POINTER(ctypes.c_uint8))
+            w = lib.doa_udp_drain(fd, off_ptr, block_bytes - fill,
+                                  block_bytes - fill, 200, cstats_ptr)
+            if w < 0:
+                break
+            fill += int(w)
+            st = self.stats
+            st.packets_in = int(cstats[0])
+            st.packets_lost = int(cstats[1])
+            st.bytes_in = int(cstats[2])
+            st.seq_last = int(cstats[3])
+            if fill == block_bytes:
+                self._sink.push(
+                    buf.view(np.complex64).reshape(self._block, N).copy())
+                st.blocks_pushed += 1
+                fill = 0
+
+
 def send_capture_udp(x: np.ndarray, addr, datagram_frames: int = 0,
                      sock: socket.socket | None = None,
                      seq0: int = 0) -> int:
@@ -145,10 +194,11 @@ def send_capture_udp(x: np.ndarray, addr, datagram_frames: int = 0,
 
 
 def loopback_rate_bench(num_channels: int = 16, seconds: float = 0.5,
-                        datagram_frames: int = 0):
+                        datagram_frames: int = 0, native: bool = False):
     """Measure achievable loopback UDP ingest rate into a counting sink
     → (GB/s received, loss_fraction). The ≥1.28 GB/s north-star ingest
-    (16 ch × 10 Msps × 8 B) is checked by bench_ingest.py with this."""
+    (16 ch × 10 Msps × 8 B) is checked by bench_ingest.py with this;
+    native=True uses the C++ receive loop."""
 
     class _Count:
         def __init__(self):
@@ -159,7 +209,8 @@ def loopback_rate_bench(num_channels: int = 16, seconds: float = 0.5,
             return True
 
     sink = _Count()
-    src = UdpSource(sink, num_channels, block_samples=1 << 15).start()
+    cls = NativeUdpSource if native else UdpSource
+    src = cls(sink, num_channels, block_samples=1 << 15).start()
     N = num_channels
     chunk = np.zeros((1 << 15, N), np.complex64)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)

@@ -11,9 +11,13 @@
 // the fork's host↔accelerator FIFO marshalling (SURVEY §2.2 F3).
 
 #include <cstdint>
+#include <cstring>
 #include <functional>
 #include <thread>
 #include <vector>
+
+#include <poll.h>
+#include <sys/socket.h>
 
 namespace {
 
@@ -76,6 +80,51 @@ int64_t doa_frame_block(const float* tail, int64_t overlap,
   if (head > 0) doa_split_c64(tail, re, im, head, threads);
   doa_split_c64(block, re + head, im + head, t * nch, threads);
   return head + t * nch;
+}
+
+// GIL-free UDP drain for the sample-ingest source (io/socket_source
+// wire format: 16-byte header {u32 magic, u32 nsamp, u64 seq} +
+// nsamp·nch complex64 payload). The pure-Python receive loop tops out
+// well under the 1.28 GB/s north-star ingest rate on this container's
+// 2 cores; this loop runs entirely outside the GIL (ctypes releases it
+// for the whole call), copying payloads contiguously into `out`.
+//
+//   fd          bound datagram socket (Python owns/creates it)
+//   out         payload destination, `capacity` bytes
+//   want_bytes  return once at least this much payload has landed
+//   idle_ms     poll timeout per wait; returns early after an idle gap
+//   stats       int64[4]: {packets, lost (seq gaps), bytes, last_seq}
+//               last_seq carries across calls (pass the same array).
+// Returns payload bytes written (≥0) or -1 on socket error.
+int64_t doa_udp_drain(int fd, uint8_t* out, int64_t capacity,
+                      int64_t want_bytes, int idle_ms, int64_t* stats) {
+  static thread_local std::vector<uint8_t> pkt(1 << 16);
+  const uint32_t kMagic = 0x44304141u;
+  int64_t written = 0;
+  while (written < want_bytes) {
+    struct pollfd pfd = {fd, POLLIN, 0};
+    int pr = poll(&pfd, 1, idle_ms);
+    if (pr <= 0) break;                       // idle gap or error
+    ssize_t n = recv(fd, pkt.data(), pkt.size(), 0);
+    if (n < 0) return -1;
+    if (n < 16) continue;
+    uint32_t magic, nsamp;
+    uint64_t seq;
+    std::memcpy(&magic, pkt.data(), 4);
+    std::memcpy(&nsamp, pkt.data() + 4, 4);
+    std::memcpy(&seq, pkt.data() + 8, 8);
+    if (magic != kMagic) continue;
+    int64_t payload = n - 16;
+    if (written + payload > capacity) break;  // caller drains and re-calls
+    if (stats[3] >= 0 && (int64_t)seq > stats[3] + 1)
+      stats[1] += (int64_t)seq - stats[3] - 1;
+    if ((int64_t)seq > stats[3]) stats[3] = (int64_t)seq;
+    stats[0] += 1;
+    stats[2] += n;
+    std::memcpy(out + written, pkt.data() + 16, payload);
+    written += payload;
+  }
+  return written;
 }
 
 }  // extern "C"

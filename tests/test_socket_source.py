@@ -63,3 +63,36 @@ def test_udp_loopback_rate():
     gbps, loss = loopback_rate_bench(seconds=0.4)
     print(f"loopback UDP ingest: {gbps:.2f} GB/s, loss {loss:.1%}")
     assert gbps > 0.3, f"only {gbps:.2f} GB/s"
+
+
+def test_native_udp_source_end_to_end():
+    """C++ drain loop (native/framer.cpp::doa_udp_drain): same wire
+    format, same block assembly, GIL-free receive."""
+    from doa_tpu.io.native import get_lib
+    from doa_tpu.io.socket_source import NativeUdpSource
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    cfg = PRESETS["c1_ula4_tone"]
+    pipe = build_pipeline_tpu(cfg)
+    drv = StreamingDriver(pipe, block_samples=8 * 256).start()
+    src = NativeUdpSource(drv, num_channels=4,
+                          block_samples=8 * 256).start()
+    x = golden.synthetic_ula_iq([64.0], 4, 0.5, 32 * 256, snr_db=15,
+                                seed=5)
+    send_capture_udp(x.astype(np.complex64), src.addr,
+                     datagram_frames=512)
+    deadline = time.time() + 20
+    results = []
+    while len(results) < 2 and time.time() < deadline:
+        try:
+            results.append(drv.results.get(timeout=0.5))
+        except Exception:
+            pass
+    src.stop()
+    drv.stop()
+    assert len(results) >= 2, f"stats: {src.stats} {drv.stats}"
+    assert src.stats.packets_lost == 0
+    angles = np.concatenate(
+        [np.asarray(r.peak_angles["music"]).ravel() for _, r in results])
+    np.testing.assert_allclose(angles, 64.0, atol=1.0)
