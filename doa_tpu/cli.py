@@ -26,6 +26,19 @@ def _add_common(p):
                    help="override number of array elements")
     p.add_argument("--snapshot", type=int, default=0,
                    help="override snapshot size")
+    p.add_argument("--scan-mode", default=None,
+                   choices=["dense", "hierarchical", "pallas"],
+                   help="MUSIC scan strategy override")
+    p.add_argument("--cov-impl", default=None,
+                   choices=["auto", "xla", "pallas"],
+                   help="covariance kernel override")
+    p.add_argument("--subspace", default=None,
+                   choices=["power", "eigh", "jacobi"],
+                   help="signal-subspace method override")
+    p.add_argument("--subspace-check", action="store_true",
+                   help="enable the power-iteration guard "
+                        "(residual/orthonormality/capture-gap + eigh "
+                        "fallback)")
 
 
 def _config(args):
@@ -38,6 +51,14 @@ def _config(args):
                 cfg.geometry, num_elements=args.elements))
     if getattr(args, "snapshot", 0):
         cfg = dataclasses.replace(cfg, snapshot_size=args.snapshot)
+    if getattr(args, "scan_mode", None):
+        cfg = dataclasses.replace(cfg, scan_mode=args.scan_mode)
+    if getattr(args, "cov_impl", None):
+        cfg = dataclasses.replace(cfg, cov_impl=args.cov_impl)
+    if getattr(args, "subspace", None):
+        cfg = dataclasses.replace(cfg, subspace_method=args.subspace)
+    if getattr(args, "subspace_check", False):
+        cfg = dataclasses.replace(cfg, subspace_check=True)
     return cfg
 
 

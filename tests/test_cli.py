@@ -95,3 +95,16 @@ def test_config_validation_errors():
         DoaConfig(num_sources=4)
     # irregular overlap is legal at config level (complex path frames it)
     DoaConfig(snapshot_size=256, overlap=100)
+
+
+def test_cli_mode_overrides(tmp_path, capsys):
+    """--scan-mode/--cov-impl/--subspace/--subspace-check reach the
+    config (the new round-2 knobs are user-switchable, not just API)."""
+    cap = str(tmp_path / "cap.npz")
+    _run(capsys, "simulate", "--preset", "c2_ula8_2src",
+         "--angles", "60,110", "--samples", str(8 * 2048), "--out", cap)
+    res = _run(capsys, "estimate", "--preset", "c2_ula8_2src",
+               "--input", cap, "--scan-mode", "hierarchical",
+               "--subspace-check")
+    a = sorted(res["music"]["median_angles_deg"])
+    assert abs(a[0] - 60) < 1.0 and abs(a[1] - 110) < 1.0
