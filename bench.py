@@ -52,7 +52,9 @@ def _build(T: int, fused: bool):
         num_max_vals=2,
         scan_mode="pallas" if fused else "dense",
         cov_impl="pallas" if fused else "xla")
-    pipe = build_pipeline_tpu(cfg)
+    # Production streaming shape: peaks out, spectra stay on-device
+    # (on the pallas path the spectrum never leaves VMEM at all).
+    pipe = build_pipeline_tpu(cfg, return_spectra=False)
     Ar, Ai = pipe.steering_planes
     key = jax.random.key(0)
     cr = jnp.ones((N,), jnp.float32)
@@ -114,11 +116,11 @@ def main():
 
     SNAP = 1024
     snaps_per_s = None
-    # XLA-first: on this container's toolchain the optimized XLA path
-    # measures faster than the fused Pallas path (24.0 ms vs 26.8 ms at
-    # B=16384 — docs/PERF.md); the fused path is the fallback and stays
-    # config-selectable.
-    for T, fused in ((1 << 24, False), (1 << 24, True),
+    # Fused-first: the r2 Pallas path (stacked cov kernel + VMEM
+    # subspace + fused scan+peaks) measures 19.0 ms vs the optimized
+    # XLA path's 23.7 ms at B=16384 (docs/PERF.md); the XLA path is the
+    # fallback for toolchains where the kernels don't compile.
+    for T, fused in ((1 << 24, True), (1 << 24, False),
                      (1 << 22, False)):
         try:
             snaps_per_s = _run(T, fused)

@@ -53,13 +53,27 @@ def interleave_factor(N: int) -> int:
 def to_interleaved(re, im):
     """Split planes f32[T, N] → interleaved rows f32[T/TPACK, 2N·TPACK].
 
-    Library-path converter (one XLA relayout pass). The native ingest
-    path skips this entirely: a raw c64 buffer IS this layout
-    (io.native.as_interleaved)."""
+    Library-path converter (the native ingest path skips this entirely:
+    a raw c64 buffer IS this layout, io.native.as_interleaved).
+
+    The interleave runs as two one-hot scatter matmuls on row-merged
+    planes — NEVER via stack([re, im], -1): that (T, N, 2) intermediate
+    tiles to 64× its logical bytes on TPU ((8,128) layout pads the
+    size-2 minor dim to 128 lanes), 137 GB at the headline T=2²⁴."""
     T, N = re.shape
     tp = interleave_factor(N)
-    u = jnp.stack([re, im], axis=-1).reshape(T, 2 * N)
-    return u.reshape(T // tp, 2 * N * tp)
+    width = 2 * N * tp
+    j = np.arange(tp * N)
+    Pr = np.zeros((tp * N, width), np.float32)
+    Pi = np.zeros((tp * N, width), np.float32)
+    Pr[j, 2 * N * (j // N) + 2 * (j % N)] = 1.0
+    Pi[j, 2 * N * (j // N) + 2 * (j % N) + 1] = 1.0
+    re_r = re.reshape(T // tp, tp * N)
+    im_r = im.reshape(T // tp, tp * N)
+    return (jnp.dot(re_r, jnp.asarray(Pr),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(im_r, jnp.asarray(Pi),
+                      preferred_element_type=jnp.float32))
 
 
 def _blockdiag_np(block: np.ndarray, n: int) -> np.ndarray:
@@ -122,13 +136,67 @@ def _cov_kernel(z_ref, p_ref, wre_ref, wim_ref, e_ref, *, N: int,
         e_ref[c] = jnp.concatenate([top, bot], axis=0)
 
 
+def _cov_kernel_stacked(z_ref, d_ref, bddt_ref, bdp_ref, pt_ref,
+                        bdm_ref, mt_ref, bdsw_ref, mask_ref, t1_ref,
+                        t2_ref, bdx2_ref, x2t_ref, e_ref, *, N: int,
+                        hop: int, tp: int,
+                        cb: int, fb: bool, scale: float, compute_dtype):
+    """Stacked variant: per-chunk work is ONLY the full-lane Gram (+ one
+    elementwise block mask); everything downstream — time-diagonal block
+    sum, interleaved→planar permutation, Jp symmetrization (the embed),
+    correction, FB — runs as ~9 program-wide matmuls on the VERTICAL
+    chunk stack with static block-diagonal left factors. The per-chunk
+    form (_cov_kernel) issues ~15 small ops per chunk and measures
+    op-latency-bound (8.7 ms at the headline config, vs ~2.8 ms of
+    actual f32 MXU Gram work); this one replaces 120 small ops per
+    program with ~30.
+
+    (A different horizontal-stack formulation SIGABRTed an earlier state
+    of this container's Mosaic toolchain — see git history e1abc55;
+    this vertical-stack form compiles, and the per-chunk fallback stays
+    selectable via variant='chunk'.)"""
+    f32 = jnp.float32
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    rows = hop // tp
+    n2 = 2 * N
+    mask = mask_ref[...]                             # (width, width)
+    Us = []
+    for c in range(cb):
+        z = z_ref[c * rows:(c + 1) * rows, :]
+        if compute_dtype != f32:
+            z = z.astype(compute_dtype)
+        U = jax.lax.dot_general(                     # (width, width)
+            z, z, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        Us.append(U * mask)          # keep time-diagonal 2N×2N blocks
+    Ustack = jnp.concatenate(Us, axis=0)             # (cb·width, width)
+    # time-diagonal block sum per chunk: Û_c = Dᵀ (U_c ∘ mask) D,
+    # stacked as two matmuls (BD_Dt = blockdiag(Dᵀ) picks its own chunk)
+    X = dot(Ustack, d_ref[...])                      # (cb·width, 2N)
+    Uhat = dot(bddt_ref[...], X)                     # (cb·2N, 2N)
+    # embed: E = P Û Pᵀ + (Jp P) Û (Jp P)ᵀ, stacked left factors
+    E = (dot(bdp_ref[...], dot(Uhat, pt_ref[...]))
+         + dot(bdm_ref[...], dot(Uhat, mt_ref[...]))) * scale
+    # correction (c cᴴ)∘R on the embedding:
+    #   E ← E∘T1 + (Fsw E)∘T2, Fsw = [[0,I],[I,0]] per chunk block
+    Esw = dot(bdsw_ref[...], E)
+    E = E * t1_ref[...] + Esw * t2_ref[...]
+    if fb:
+        # ½(E + X₂ E X₂ᵀ), X₂ = blockdiag(X, −X), X the exchange
+        # matrix: forward-backward averaging on the embedding (the −X
+        # on the imag half carries the conjugation).
+        E = 0.5 * (E + dot(bdx2_ref[...], dot(E, x2t_ref[...])))
+    e_ref[...] = E
+
+
 @functools.partial(jax.jit, static_argnames=(
     "N", "snapshot_size", "overlap", "fb", "compute_dtype",
-    "chunks_per_block", "interpret"))
+    "chunks_per_block", "variant", "interpret"))
 def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
                         overlap: int = 0, fb: bool = False,
                         compute_dtype=jnp.float32,
                         chunks_per_block: int = 8,
+                        variant: str = "stacked",
                         interpret: bool = False):
     """xil: f32[T/TPACK, 2N·TPACK] interleaved rows; cr/ci: f32[N]
     correction → E(R) windows f32[B, 2N, 2N] (normalized by S,
@@ -165,28 +233,82 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
          ci[:, None] * cr[None, :] - cr[:, None] * ci[None, :])
 
     n2 = 2 * N
-    Pm = jnp.asarray(_perm_interleaved_to_planar(N))
+    Pm_np = _perm_interleaved_to_planar(N)
     rows = hop // tp
-    E = pl.pallas_call(
-        functools.partial(_cov_kernel, N=N, hop=hop, tp=tp, cb=cb,
-                          fb=fb, scale=1.0 / S,
-                          compute_dtype=compute_dtype),
-        grid=(n // cb,),
-        in_specs=[
-            pl.BlockSpec((cb * rows, width), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cb, n2, n2), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n2, n2), jnp.float32),
-        interpret=interpret,
-    )(xil[: (n * hop) // tp], Pm, W[0], W[1])
+
+    if variant == "stacked":
+        # --- static factors -------------------------------------------
+        D = np.zeros((width, n2), np.float32)
+        for i in range(tp):
+            D[i * n2:(i + 1) * n2, :] = np.eye(n2, dtype=np.float32)
+        Jp = np.zeros((n2, n2), np.float32)
+        Jp[:N, N:] = -np.eye(N, dtype=np.float32)
+        Jp[N:, :N] = np.eye(N, dtype=np.float32)
+        M = Jp @ Pm_np
+        Fsw = np.zeros((n2, n2), np.float32)
+        Fsw[:N, N:] = np.eye(N, dtype=np.float32)
+        Fsw[N:, :N] = np.eye(N, dtype=np.float32)
+        Xex = np.eye(N, dtype=np.float32)[::-1]
+        X2 = np.zeros((n2, n2), np.float32)
+        X2[:N, :N] = Xex
+        X2[N:, N:] = -Xex
+        mask = _blockdiag_np(np.ones((n2, n2), np.float32), tp)
+        consts = [D, _blockdiag_np(D.T, cb), _blockdiag_np(Pm_np, cb),
+                  Pm_np.T, _blockdiag_np(M, cb), M.T,
+                  _blockdiag_np(Fsw, cb), mask]
+        # --- dynamic correction masks (runtime inputs) ----------------
+        T1b = jnp.concatenate(
+            [jnp.concatenate([W[0], W[0]], axis=1)] * 2, axis=0)
+        T2b = jnp.concatenate(
+            [jnp.concatenate([-W[1], -W[1]], axis=1),
+             jnp.concatenate([W[1], W[1]], axis=1)], axis=0)
+        T1s = jnp.concatenate([T1b] * cb, axis=0)    # (cb·2N, 2N)
+        T2s = jnp.concatenate([T2b] * cb, axis=0)
+        cspec = lambda r, c: pl.BlockSpec(  # noqa: E731
+            (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        Es = pl.pallas_call(
+            functools.partial(_cov_kernel_stacked, N=N, hop=hop, tp=tp,
+                              cb=cb, fb=fb, scale=1.0 / S,
+                              compute_dtype=compute_dtype),
+            grid=(n // cb,),
+            in_specs=[
+                pl.BlockSpec((cb * rows, width), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                cspec(width, n2), cspec(cb * n2, cb * width),
+                cspec(cb * n2, cb * n2), cspec(n2, n2),
+                cspec(cb * n2, cb * n2), cspec(n2, n2),
+                cspec(cb * n2, cb * n2), cspec(width, width),
+                cspec(cb * n2, n2), cspec(cb * n2, n2),
+                cspec(cb * n2, cb * n2), cspec(n2, n2),
+            ],
+            out_specs=pl.BlockSpec((cb * n2, n2), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n * n2, n2), jnp.float32),
+            interpret=interpret,
+        )(xil[: (n * hop) // tp], *map(jnp.asarray, consts), T1s, T2s,
+          jnp.asarray(_blockdiag_np(X2, cb)), jnp.asarray(X2.T))
+        E = Es.reshape(n, n2, n2)
+    else:
+        E = pl.pallas_call(
+            functools.partial(_cov_kernel, N=N, hop=hop, tp=tp, cb=cb,
+                              fb=fb, scale=1.0 / S,
+                              compute_dtype=compute_dtype),
+            grid=(n // cb,),
+            in_specs=[
+                pl.BlockSpec((cb * rows, width), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, N), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, N), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((cb, n2, n2), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, n2, n2), jnp.float32),
+            interpret=interpret,
+        )(xil[: (n * hop) // tp], jnp.asarray(Pm_np), W[0], W[1])
 
     if n_win == 1:
         return E[:B]

@@ -44,12 +44,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, out_ref, *,
+def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, d_ref, out_ref, *,
                      W: int, n2: int, k2: int, gw: int, rounds: int,
-                     ns_iters: int):
-    # ns_iters=12 handles Gram conditioning up to ~(λ1/λ2K)⁸ ≈ 10³
-    # (NS needs ≈ log2(cond)+3 iterations); the E⁴ round granularity
-    # bounds cond growth between orthonormalizations to ratio⁸.
+                     ns_iters: int, ns_iters_mid: int):
+    # The NS chain is the kernel's cost currency (dependent 128-class
+    # matmuls). Two reductions vs the r1 schedule:
+    #   * Jacobi preconditioning: G̃ = D^{-1/2} G D^{-1/2} (D = diag G).
+    #     After V ← E⁴V the Gram's conditioning is dominated by column
+    #     NORM spread (∝ eigenvalue⁴ ratios); the diagonal rescale
+    #     removes that component exactly, leaving NS only the
+    #     correlation structure — ns_iters drops from 12 to ~8 for the
+    #     same envelope (NS needs ≈ log2(cond)+3 iterations).
+    #   * Middle rounds only need to keep the basis conditioned, not
+    #     orthonormal to f32 (orthonormality is consumed by the SCAN,
+    #     i.e. only the final basis): ns_iters_mid < ns_iters.
+    # The subspace guard (ops.cpx_ops.guarded_signal_subspace) remains
+    # the envelope check for pathological spreads.
     ng = W // gw
     bd = gw * n2            # block-diagonal side (≤ 128 by construction)
     wk = W * k2             # consolidated V column count
@@ -104,44 +114,62 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, out_ref, *,
 
     # --- rounds of consolidated orthonormalize (+ E⁴ apply) -----------
     eye = eye_ref[...]                               # (wk, wk)
+    eyeWK = eye
     for r in range(rounds):
         if r > 0:
             Vs_g = [dot(E4s[g], Vs_g[g]) for g in range(ng)]
         V = blockdiag(Vs_g, bd, gw * k2)             # (W·n2, wk)
         G = dotT(V, V)                               # (wk, wk) block-diag
-        # Per-window Frobenius norm (an UPPER bound on λmax — the trace
-        # mean is not, and Newton-Schulz diverges outside λ(Gn) < 2;
-        # seen in practice at K=3 eigenvalue spreads). ‖G_w‖_F reaches
-        # every column of window w through one matmul with the 0/1
-        # block-replicator, keeping the whole step MXU-shaped.
+        # Jacobi preconditioning: d = rsqrt(diag G) as a row vector via
+        # the ones-row matmul (2-D ops only — 3-D masked reduces SIGABRT
+        # this toolchain); G̃ = G ∘ (dᵀ d) has unit diagonal.
+        ones_wk = jnp.ones((1, wk), f32)
+        diagG = dot(ones_wk, G * eyeWK)              # (1, wk)
+        d = jax.lax.rsqrt(jnp.maximum(diagG, 1e-30))
+        G = G * d * d.T
+        # Per-window Frobenius norm of the PRECONDITIONED Gram (an UPPER
+        # bound on λmax — the trace mean is not, and Newton-Schulz
+        # diverges outside λ(Gn) < 2). ‖G_w‖_F reaches every column of
+        # window w through one matmul with the 0/1 block-replicator,
+        # keeping the whole step MXU-shaped.
         sq = jnp.sum(G * G, axis=0, keepdims=True)       # (1, wk)
         fro = jnp.sqrt(dot(sq, rep_ref[...]))        # per-window → cols
         inv = 1.0 / jnp.maximum(fro, 1e-30)
         Gn = G * inv                                 # column scale = /‖·‖_F
         Y, Z = Gn, eye
-        for _ in range(ns_iters):
+        final = r == rounds - 1 or r == 0
+        for _ in range(ns_iters if final else ns_iters_mid):
             T = 1.5 * eye - 0.5 * dot(Z, Y)
             Y = dot(Y, T)
             Z = dot(T, Z)
-        V = dot(V, Z) * jax.lax.rsqrt(jnp.maximum(fro, 1e-30))
+        # right factor: D^{-1/2} Z̃ / √fro — (V D^{-1/2} Z̃)ᵀ(·) = Z̃ᵀG̃Z̃ = I
+        V = dot(V * d, Z) * jax.lax.rsqrt(jnp.maximum(fro, 1e-30))
         if r < rounds - 1:
             Vs_g = [V[g * bd:(g + 1) * bd,
                       g * gw * k2:(g + 1) * gw * k2] for g in range(ng)]
 
     # --- emit packed layout: row w·k2+k ← V[w·n2:(w+1)·n2, w·k2+k]ᵀ ---
-    Vt = V.T                                          # (wk, W·n2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (wk, n2), 0) // k2
-    acc = jnp.zeros((wk, n2), f32)
-    for w in range(W):
-        acc = acc + jnp.where(rows == w,
-                              Vt[:, w * n2:(w + 1) * n2], 0.0)
-    out_ref[...] = acc
+    # V is window-block-diagonal THROUGHOUT the iteration (V₀ = E⁴·sel
+    # is; G = VᵀV is then k2-block-diagonal, so every NS polynomial Z
+    # is too, and V·Z preserves the structure). Hence the block-sum
+    # VgᵀD (D = identity-stack) collapses each group's packed rows in
+    # ONE matmul — cross-window terms are structurally zero — replacing
+    # the W masked-add emit loop of the r1 kernel.
+    outs = []
+    for g in range(ng):
+        Vg = V[g * bd:(g + 1) * bd, g * gw * k2:(g + 1) * gw * k2]
+        outs.append(jax.lax.dot_general(
+            Vg, d_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))             # (gw·k2, n2)
+    out_ref[...] = jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_sources", "iters", "ns_iters", "groups_per_block", "interpret"))
+    "num_sources", "iters", "ns_iters", "ns_iters_mid",
+    "groups_per_block", "interpret"))
 def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
-                           ns_iters: int = 12, groups_per_block: int = 8,
+                           ns_iters: int = 12, ns_iters_mid: int = 8,
+                           groups_per_block: int = 0,
                            interpret: bool = False):
     """E: f32[B, 2N, 2N] embedded covariances → packed orthonormal signal
     subspace f32[ceil(B/W)·W·2K, 2N] (rows = (window, k); reshape to
@@ -152,6 +180,8 @@ def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
     B, n2, _ = E.shape
     k2 = 2 * num_sources
     gw = max(1, 128 // n2)
+    if groups_per_block == 0:
+        groups_per_block = _auto_gpb(n2, k2)
     W = gw * groups_per_block
     rounds = max(1, iters // 4)
 
@@ -170,10 +200,14 @@ def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
     for w in range(W):
         rep[w * k2:(w + 1) * k2, w * k2:(w + 1) * k2] = 1.0
     eye = np.eye(wk, dtype=np.float32)
+    D = np.zeros((gw * n2, n2), np.float32)   # identity-stack block sum
+    for i in range(gw):
+        D[i * n2:(i + 1) * n2, :] = np.eye(n2, dtype=np.float32)
 
     out = pl.pallas_call(
         functools.partial(_subspace_kernel, W=W, n2=n2, k2=k2, gw=gw,
-                          rounds=rounds, ns_iters=ns_iters),
+                          rounds=rounds, ns_iters=ns_iters,
+                          ns_iters_mid=ns_iters_mid),
         grid=(Bp // W,),
         in_specs=[
             pl.BlockSpec((W, n2, n2), lambda i: (i, 0, 0),
@@ -184,17 +218,32 @@ def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wk, wk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw * n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((wk, n2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp * k2, n2), jnp.float32),
         interpret=interpret,
-    )(E, jnp.asarray(sel), jnp.asarray(rep), jnp.asarray(eye))
+    )(E, jnp.asarray(sel), jnp.asarray(rep), jnp.asarray(eye),
+      jnp.asarray(D))
     return out
 
 
-def packing_width(n2: int, groups_per_block: int = 8) -> int:
+def _auto_gpb(n2: int, k2: int) -> int:
+    """Default groups_per_block: target a consolidated NS width
+    wk = W·k2 of 256 (measured best at the headline shape — halves the
+    per-window op count of the latency-bound NS chain vs wk=128, while
+    wk=512 tips the chain flop-bound and loses 2.5×), bounded to ≥1."""
+    gw = max(1, 128 // n2)
+    return max(1, 256 // max(gw * k2, 1))
+
+
+def packing_width(n2: int, num_sources: int,
+                  groups_per_block: int = 0) -> int:
     """Windows per packed row-block (static; matches the kernel's W)."""
+    if groups_per_block == 0:
+        groups_per_block = _auto_gpb(n2, 2 * num_sources)
     return max(1, 128 // n2) * groups_per_block
 
 

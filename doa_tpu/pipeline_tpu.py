@@ -61,7 +61,8 @@ def compute_covariances_cpx(x: Cpx, cfg: DoaConfig,
 
 def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                        return_covariance: bool = False,
-                       donate_inputs: bool = False):
+                       donate_inputs: bool = False,
+                       return_spectra: bool = True):
     """→ callable(x: complex (T, N) numpy | Cpx, correction) → DoaResult.
 
     The jitted core signature is all-real:
@@ -72,6 +73,12 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     buffer mode). Callers must then treat each input array as consumed:
     do NOT re-call with the same device buffers (fine for streaming,
     wrong for benchmarks that loop over one resident array).
+
+    return_spectra=False drops the (B, G) pseudospectra from the result
+    (peaks only — the production streaming shape). On the Pallas scan
+    path this additionally fuses normalize+peaks INTO the scan kernel
+    (ops.pallas.music_scan._scan_peaks_kernel): the spectrum never
+    leaves VMEM and the HBM output is the (B, k) peak list.
     """
     A_host, x_rng = _steering_matrix(cfg)
     A_re = np.ascontiguousarray(A_host.real.astype(np.float32))
@@ -132,7 +139,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         Vp_flat = subspace_packed_pallas(
             E_win, cfg.num_sources, iters=cfg.power_iters,
             interpret=interp)
-        W = packing_width(E_win.shape[-1])
+        W = packing_width(E_win.shape[-1], cfg.num_sources)
         return Vp_flat.reshape(-1, W * 2 * cfg.num_sources,
                                E_win.shape[-1])
 
@@ -196,7 +203,32 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 if cfg.scan_mode == "pallas":
                     from doa_tpu.cpx import embed_vector
                     from doa_tpu.ops.pallas.music_scan import (
-                        music_scan_from_packed, music_scan_pallas)
+                        music_scan_from_packed, music_scan_pallas,
+                        music_scan_peaks_from_packed,
+                        music_scan_peaks_pallas)
+                    fuse_peaks = (not return_spectra and not is_2d
+                                  and cfg.num_max_vals <= 4)
+                    if fuse_peaks:
+                        try:
+                            if Vp is not None:
+                                v, l = music_scan_peaks_from_packed(
+                                    Vp, 2 * cfg.num_sources,
+                                    embed_vector(A), cfg.num_max_vals,
+                                    x_rng[0], x_rng[1],
+                                    refine=refine_peaks,
+                                    interpret=interp)
+                                v, l = v[:B_out], l[:B_out]
+                            else:
+                                v, l = music_scan_peaks_pallas(
+                                    V_emb, embed_vector(A),
+                                    cfg.num_max_vals, x_rng[0],
+                                    x_rng[1], refine=refine_peaks,
+                                    interpret=interp)
+                            pvals[est.value] = v
+                            pangs[est.value] = l
+                            continue
+                        except ValueError:
+                            pass   # grid too large for VMEM: unfused
                     if Vp is not None:
                         P = music_scan_from_packed(
                             Vp, 2 * cfg.num_sources, embed_vector(A),
@@ -206,7 +238,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                                               interpret=interp)
                     P = P / jnp.max(P, axis=-1, keepdims=True)
                     v, l = _peaks(P)
-                    spectra[est.value] = P
+                    if return_spectra:
+                        spectra[est.value] = P
                     pvals[est.value] = v
                     pangs[est.value] = l
                     continue
@@ -262,7 +295,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             else:
                 continue
             v, l = _peaks(P)
-            spectra[est.value] = P
+            if return_spectra:
+                spectra[est.value] = P
             pvals[est.value] = v
             pangs[est.value] = l
         if want_root:
@@ -335,9 +369,54 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         R, E_win = _fast_cov(xil, cr, ci)
         return _estimate(R, E_win, Ar, Ai)
 
+    run_ilv_py = run_ilv
     run = jax.jit(run, donate_argnums=(0, 1) if donate_inputs else ())
     run_ilv = jax.jit(run_ilv,
                       donate_argnums=(0,) if donate_inputs else ())
+
+    def _scan_capture_core(blks, cr, ci, Ar, Ai):
+        """blks: f32[M, rows, width] → stacked peak outputs, one
+        lax.scan step per block: the whole capture is ONE device
+        program (no per-block dispatch at all — the streaming analog
+        of pipelined fencing, SURVEY §7.2 M4). Overlap continuity is
+        carried as the previous block's last `overlap` samples; the
+        first block's carry is zeros, so its first ceil(overlap/hop)
+        windows reference a zero prefix (callers drop them — exact
+        from block 1 on)."""
+        ov_rows = cfg.overlap // tp
+
+        def body(carry, blk):
+            x = blk if ov_rows == 0 else jnp.concatenate([carry, blk],
+                                                         axis=0)
+            out = run_ilv_py(x, cr, ci, Ar, Ai)
+            keep = {k: out[k] for k in
+                    ("peak_values", "peak_angles", "root_music_angles",
+                     "esprit_angles") if out.get(k) is not None}
+            new_carry = carry if ov_rows == 0 else x[-ov_rows:]
+            return new_carry, keep
+
+        init = jnp.zeros((ov_rows, blks.shape[-1]), jnp.float32)
+        return jax.lax.scan(body, init, blks)[1]
+
+    scan_capture_jit = jax.jit(
+        _scan_capture_core,
+        donate_argnums=(0,) if donate_inputs else ())
+
+    def scan_capture(blocks, correction=None):
+        """blocks: f32[M, T_blk/TPACK, 2N·TPACK] pre-staged interleaved
+        blocks (device or host) → dict of stacked (M, B_blk, ...) peak
+        results. Requires the fused fast path and TPACK | overlap."""
+        if not fast_cov:
+            raise ValueError("scan_capture requires the fused Pallas "
+                             "path (cov_impl='pallas'/auto on TPU, "
+                             "power subspace, no smoothing)")
+        if cfg.overlap % tp:
+            raise ValueError(f"scan_capture needs TPACK ({tp}) | "
+                             f"overlap ({cfg.overlap})")
+        cr, ci = _correction_planes(cfg.geometry.num_elements,
+                                    correction)
+        return scan_capture_jit(jnp.asarray(blocks), cr, ci,
+                                A_re_d, A_im_d)
 
     A_re_d = jax.device_put(A_re)
     A_im_d = jax.device_put(A_im)

@@ -81,7 +81,8 @@ def test_subspace_packed_projector_parity(N, K):
     np.testing.assert_allclose(orth, np.broadcast_to(np.eye(2 * K),
                                                      orth.shape),
                                atol=5e-6)
-    assert packing_width(2 * N) * (B // packing_width(2 * N) + 1) >= B
+    W = packing_width(2 * N, K)
+    assert W * (B // W + 1) >= B
 
 
 def test_zero_copy_c64_entry_matches_planes():
@@ -104,3 +105,24 @@ def test_zero_copy_c64_entry_matches_planes():
     np.testing.assert_allclose(
         np.asarray(r.peak_angles["music"]),
         np.asarray(out_raw.peak_angles["music"]), atol=1e-4)
+
+
+def test_cov_embedded_variants_agree():
+    """stacked (production) vs per-chunk (fallback) kernel forms."""
+    from doa_tpu.ops.pallas.cov_embedded import (cov_embedded_pallas,
+                                                 to_interleaved)
+    N, S = 16, 256
+    x = _x(N=N, T=8 * S + 100)
+    xc = Cpx.from_complex(x)
+    rng = np.random.default_rng(7)
+    c = Cpx(jnp.asarray(rng.standard_normal(N).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(N).astype(np.float32)))
+    xil = to_interleaved(xc.re, xc.im)
+    for ov, fb in ((0, False), (128, True)):
+        Es = np.asarray(cov_embedded_pallas(
+            xil, c.re, c.im, N=N, snapshot_size=S, overlap=ov, fb=fb,
+            variant="stacked", interpret=True))
+        Ec = np.asarray(cov_embedded_pallas(
+            xil, c.re, c.im, N=N, snapshot_size=S, overlap=ov, fb=fb,
+            variant="chunk", interpret=True))
+        np.testing.assert_allclose(Es, Ec, rtol=1e-5, atol=1e-5)
