@@ -156,6 +156,12 @@ class DoaConfig:
     # Covariance chunk-Gram implementation: "auto" picks the Pallas
     # kernel on TPU backends and XLA elsewhere; "xla" | "pallas" force.
     cov_impl: str = "auto"
+    # Subspace-iteration implementation on the fused (embedded-E) path:
+    # "xla" = batched E⁴-squaring iteration in transposed layout
+    # (cpx_ops.signal_subspace_from_E_T — measured fastest, 9.7 ms vs
+    # 14.7 at the headline config), "pallas" = in-VMEM consolidated
+    # kernel (ops/pallas/subspace.py). "auto" = xla.
+    subspace_impl: str = "auto"
     # Gram input precision: "bfloat16" quarters the MXU pass count of the
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
     # — fine above threshold SNR, see docs/ACCURACY.md).
@@ -185,6 +191,10 @@ class DoaConfig:
         if self.cov_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"cov_impl {self.cov_impl!r} not 'auto' | 'xla' | 'pallas'")
+        if self.subspace_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"subspace_impl {self.subspace_impl!r} not "
+                "'auto' | 'xla' | 'pallas'")
         if self.cov_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")

@@ -136,12 +136,28 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     def _subspace_packed(E_win):
         from doa_tpu.ops.pallas.subspace import (
             packing_width, subspace_packed_pallas)
-        Vp_flat = subspace_packed_pallas(
-            E_win, cfg.num_sources, iters=cfg.power_iters,
-            interpret=interp)
-        W = packing_width(E_win.shape[-1], cfg.num_sources)
-        return Vp_flat.reshape(-1, W * 2 * cfg.num_sources,
-                               E_win.shape[-1])
+        n2 = E_win.shape[-1]
+        k2 = 2 * cfg.num_sources
+        W = packing_width(n2, cfg.num_sources)
+        if cfg.subspace_impl in ("auto", "xla"):
+            # Transposed-layout XLA iteration: Vt.reshape IS the packed
+            # layout (leading-dim merges only — no relayout pass).
+            Vt = cpx_ops.signal_subspace_from_E_T(
+                E_win, cfg.num_sources, iters=cfg.power_iters)
+            B = E_win.shape[0]
+            Bp = ((B + W - 1) // W) * W
+            Vp_flat = Vt.reshape(B * k2, n2)
+            if Bp != B:
+                # zero pad rows: padded windows scan to den = ‖a‖² > 0
+                # and are sliced off by the [:B] consumers
+                Vp_flat = jnp.concatenate(
+                    [Vp_flat, jnp.zeros(((Bp - B) * k2, n2),
+                                        Vp_flat.dtype)], axis=0)
+        else:
+            Vp_flat = subspace_packed_pallas(
+                E_win, cfg.num_sources, iters=cfg.power_iters,
+                interpret=interp)
+        return Vp_flat.reshape(-1, W * k2, n2)
 
     def _estimate(R, E_win, Ar, Ai):
         """Everything downstream of the covariance stage. Exactly one of
