@@ -45,9 +45,11 @@ def main():
         num_max_vals=2, scan_mode="pallas", cov_impl="pallas")
 
     # Streaming pipe donates each block; offline pipe (reused buffer)
-    # must not.
-    pipe_stream = build_pipeline_tpu(cfg, donate_inputs=True)
-    pipe_off = build_pipeline_tpu(cfg)
+    # must not. All three modes use the production streaming shape
+    # (peaks out, no spectra).
+    pipe_stream = build_pipeline_tpu(cfg, donate_inputs=True,
+                                     return_spectra=False)
+    pipe_off = build_pipeline_tpu(cfg, return_spectra=False)
     use_fast = pipe_stream.fast_path
     Ar, Ai = pipe_stream.steering_planes
     cr = jnp.ones((N,), jnp.float32)
@@ -78,17 +80,38 @@ def main():
     warm = [jax.block_until_ready(jnp.copy(b)) for b in blocks[:2]]
     stream_once(warm)  # consumes the copies (donated)
 
-    # Donated buffers are consumed: re-stage per timed run.
-    log("timing streaming (restaged per run)")
+    # Donated buffers are consumed: stage ALL runs' copies upfront so
+    # the timed region enqueues runs*n_blocks calls and fences ONCE —
+    # the same pipelined discipline as the offline and scan modes (a
+    # fence costs ~25 ms through this container's relay; mixed
+    # disciplines made the ratios meaningless).
     runs = 3
-    times = []
-    for r in range(runs):
-        staged = [jax.block_until_ready(jnp.copy(b)) for b in blocks]
-        t0 = time.perf_counter()
-        stream_once(staged)
-        times.append(time.perf_counter() - t0)
-    dt_stream = min(times)
+    log(f"timing streaming ({runs}x{n_blocks} blocks, one fence)")
+    staged = [jax.block_until_ready(jnp.copy(b))
+              for _ in range(runs) for b in blocks]
+    t0 = time.perf_counter()
+    out = None
+    for b in staged:
+        out = pipe_stream.jitted_ilv(b, cr, ci, Ar, Ai)
+    fence(out)
+    dt_stream = (time.perf_counter() - t0) / runs
+    del staged
     snaps_stream = n_blocks * B_blk / dt_stream
+
+    log("timing lax.scan capture mode (one program for all blocks)")
+    pipe_scan = build_pipeline_tpu(cfg, return_spectra=False)
+    stacked0 = jax.block_until_ready(jnp.stack(blocks))
+
+    fence(pipe_scan.scan_capture(stacked0))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(runs):
+        out = pipe_scan.scan_capture(stacked0)
+    fence(out)
+    dt_scan = (time.perf_counter() - t0) / runs
+    snaps_scan = n_blocks * B_blk / dt_scan
+    del stacked0
+    log(f"scan-capture: {snaps_scan:.0f} snapshots/s")
 
     log("offline batch reference (same total samples, one call)")
     T_total = n_blocks * T_blk
@@ -98,18 +121,20 @@ def main():
     fence(pipe_off.jitted_ilv(xb, cr, ci, Ar, Ai))
     t0 = time.perf_counter()
     out = None
-    for _ in range(2):
+    for _ in range(2 * runs):
         out = pipe_off.jitted_ilv(xb, cr, ci, Ar, Ai)
     fence(out)
-    dt_off = (time.perf_counter() - t0) / 2
+    dt_off = (time.perf_counter() - t0) / (2 * runs)
     snaps_off = (T_total // SNAP) / dt_off
 
     print(json.dumps({
         "metric": "device_streaming_snapshots_per_s",
         "block_samples": T_blk, "blocks": n_blocks,
         "value": round(snaps_stream, 1),
+        "scan_capture_snapshots_per_s": round(snaps_scan, 1),
         "offline_snapshots_per_s": round(snaps_off, 1),
         "stream_vs_offline": round(snaps_stream / snaps_off, 3),
+        "scan_vs_offline": round(snaps_scan / snaps_off, 3),
         "x_realtime": round(snaps_stream / (10e6 / SNAP), 2),
     }), flush=True)
 

@@ -152,7 +152,10 @@ class DoaConfig:
     # fraction of the flops (ops.hierarchical); "pallas" (power path
     # only) runs the fused lane-packed Pallas scan kernel
     # (ops.pallas.music_scan) — no (B, G, 2K) intermediate in HBM.
-    scan_mode: str = "dense"
+    # "auto" (default) resolves to "pallas" whenever the fused fast
+    # path is active (TPU + power subspace + no smoothing) and "dense"
+    # otherwise — the measured-fastest composition on each backend.
+    scan_mode: str = "auto"
     # Covariance chunk-Gram implementation: "auto" picks the Pallas
     # kernel on TPU backends and XLA elsewhere; "xla" | "pallas" force.
     cov_impl: str = "auto"
@@ -176,10 +179,11 @@ class DoaConfig:
             raise ValueError(
                 f"subspace_method {self.subspace_method!r} not one of "
                 "'power' | 'eigh' | 'jacobi'")
-        if self.scan_mode not in ("dense", "hierarchical", "pallas"):
+        if self.scan_mode not in ("auto", "dense", "hierarchical",
+                                  "pallas"):
             raise ValueError(
                 f"scan_mode {self.scan_mode!r} not one of "
-                "'dense' | 'hierarchical' | 'pallas'")
+                "'auto' | 'dense' | 'hierarchical' | 'pallas'")
         if self.scan_mode == "pallas" and self.subspace_method != "power":
             raise ValueError(
                 "scan_mode='pallas' scans the signal subspace directly "

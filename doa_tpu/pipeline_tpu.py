@@ -132,6 +132,12 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     need_R = (Estimator.CAPON in cfg.estimators
               or Estimator.ESPRIT in cfg.estimators
               or want_root or return_covariance)
+    # "auto" composes the measured-fastest path per backend: the fused
+    # Pallas scan when the fast covariance path is active, dense XLA
+    # otherwise (docs/PERF.md).
+    scan_mode = cfg.scan_mode
+    if scan_mode == "auto":
+        scan_mode = "pallas" if fast_cov else "dense"
 
     def _subspace_packed(E_win):
         from doa_tpu.ops.pallas.subspace import (
@@ -174,7 +180,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 and (Estimator.MUSIC in cfg.estimators or want_root)):
             if E_win is not None:
                 Vp = _subspace_packed(E_win)
-                if (cfg.scan_mode != "pallas" or want_root
+                if (scan_mode != "pallas" or want_root
                         or cfg.subspace_check):
                     from doa_tpu.ops.pallas.subspace import (
                         packed_to_batched)
@@ -192,7 +198,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     E_chk, V_emb, cfg.num_sources,
                     tol=cfg.subspace_tol)
                 Vp = None   # guarded V replaces the packed fast path
-        hier = cfg.scan_mode == "hierarchical" and use_power
+        hier = scan_mode == "hierarchical" and use_power
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
                 if hier and cfg.geometry.kind == "ula":
@@ -216,7 +222,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     pvals[est.value] = v
                     pangs[est.value] = jnp.stack([az, el], axis=-1)
                     continue
-                if cfg.scan_mode == "pallas":
+                if scan_mode == "pallas":
                     from doa_tpu.cpx import embed_vector
                     from doa_tpu.ops.pallas.music_scan import (
                         music_scan_from_packed, music_scan_pallas,
@@ -284,7 +290,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
                 P = P / jnp.max(P, axis=-1, keepdims=True)
             elif est == Estimator.CAPON:
-                if (cfg.scan_mode == "hierarchical"
+                if (scan_mode == "hierarchical"
                         and cfg.geometry.kind == "ula"):
                     from doa_tpu.ops.hierarchical import (
                         capon_hierarchical_ula)
@@ -296,7 +302,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     pvals[est.value] = v
                     pangs[est.value] = l
                     continue
-                if cfg.scan_mode == "hierarchical" and is_2d:
+                if scan_mode == "hierarchical" and is_2d:
                     from doa_tpu.ops.hierarchical import (
                         capon_hierarchical_ura)
                     v, az, el = capon_hierarchical_ura(
@@ -353,7 +359,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             spectra, pvals, pangs = {}, {}, {}
             x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
             Wr, Wi, Asr, Asi = wb_extra
-            if cfg.scan_mode == "hierarchical" and use_power:
+            if scan_mode == "hierarchical" and use_power:
                 v, l = wideband_music_hierarchical_cpx(
                     x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg,
                     cfg.num_max_vals, x_rng=x_rng,
@@ -370,9 +376,19 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         esprit_angles=None, covariance=None,
                         subspace_residual=None)
         if fast_cov:
-            from doa_tpu.ops.pallas.cov_embedded import to_interleaved
-            R, E_win = _fast_cov(to_interleaved(xr, xi), cr, ci)
-            return _estimate(R, E_win, Ar, Ai)
+            # Planes input + fast path: the XLA stacked-Gram covariance
+            # reads split planes NATIVELY; embed to E and join the
+            # fused downstream (squared subspace + fused scan+peaks).
+            # An on-device interleave pass (to_interleaved) measured
+            # 47 ms at T=2²⁴ — the planes→interleaved relayout is the
+            # one thing this backend does badly; interleaved data
+            # should enter via jitted_ilv / the zero-copy c64 view.
+            from doa_tpu.cpx import embed_hermitian
+            R = compute_covariances_cpx(
+                Cpx(xr, xi), cfg, correction=Cpx(cr, ci),
+                cov_impl="xla", interpret=interp)
+            E_win = embed_hermitian(R)
+            return _estimate(R if need_R else None, E_win, Ar, Ai)
         R = compute_covariances_cpx(Cpx(xr, xi), cfg,
                                     correction=Cpx(cr, ci),
                                     cov_impl=cov_impl, interpret=interp)
@@ -390,28 +406,34 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     run_ilv = jax.jit(run_ilv,
                       donate_argnums=(0,) if donate_inputs else ())
 
+    # Carry for continuous framing across blocks: window starts are
+    # global hop-multiples, so the earliest window spanning a block
+    # boundary starts hop·ceil(overlap/hop) samples before it — the
+    # carry is THAT long (== overlap only when hop | overlap; overlap=0
+    # → no carry).
+    _carry_samples = cfg.hop * -(-cfg.overlap // cfg.hop)
+
     def _scan_capture_core(blks, cr, ci, Ar, Ai):
         """blks: f32[M, rows, width] → stacked peak outputs, one
         lax.scan step per block: the whole capture is ONE device
         program (no per-block dispatch at all — the streaming analog
-        of pipelined fencing, SURVEY §7.2 M4). Overlap continuity is
-        carried as the previous block's last `overlap` samples; the
-        first block's carry is zeros, so its first ceil(overlap/hop)
-        windows reference a zero prefix (callers drop them — exact
-        from block 1 on)."""
-        ov_rows = cfg.overlap // tp
+        of pipelined fencing, SURVEY §7.2 M4). The first block's carry
+        is zeros, so its first `scan_capture.prefix_windows` windows
+        reference a zero prefix (callers drop them — exact from the
+        first real window on)."""
+        carry_rows = _carry_samples // tp
 
         def body(carry, blk):
-            x = blk if ov_rows == 0 else jnp.concatenate([carry, blk],
-                                                         axis=0)
+            x = blk if carry_rows == 0 else jnp.concatenate(
+                [carry, blk], axis=0)
             out = run_ilv_py(x, cr, ci, Ar, Ai)
             keep = {k: out[k] for k in
                     ("peak_values", "peak_angles", "root_music_angles",
                      "esprit_angles") if out.get(k) is not None}
-            new_carry = carry if ov_rows == 0 else x[-ov_rows:]
+            new_carry = carry if carry_rows == 0 else x[-carry_rows:]
             return new_carry, keep
 
-        init = jnp.zeros((ov_rows, blks.shape[-1]), jnp.float32)
+        init = jnp.zeros((carry_rows, blks.shape[-1]), jnp.float32)
         return jax.lax.scan(body, init, blks)[1]
 
     scan_capture_jit = jax.jit(
@@ -421,18 +443,27 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     def scan_capture(blocks, correction=None):
         """blocks: f32[M, T_blk/TPACK, 2N·TPACK] pre-staged interleaved
         blocks (device or host) → dict of stacked (M, B_blk, ...) peak
-        results. Requires the fused fast path and TPACK | overlap."""
+        results. Requires the fused fast path, TPACK | carry, and
+        hop | T_blk (so each block consumes a whole number of hops and
+        the carry length is invariant — continuous-stream framing)."""
         if not fast_cov:
             raise ValueError("scan_capture requires the fused Pallas "
                              "path (cov_impl='pallas'/auto on TPU, "
                              "power subspace, no smoothing)")
-        if cfg.overlap % tp:
-            raise ValueError(f"scan_capture needs TPACK ({tp}) | "
-                             f"overlap ({cfg.overlap})")
+        if _carry_samples % tp:
+            raise ValueError(f"scan_capture needs TPACK ({tp}) | carry "
+                             f"({_carry_samples})")
+        blocks = jnp.asarray(blocks)
+        T_blk = blocks.shape[1] * tp
+        if T_blk % cfg.hop:
+            raise ValueError(f"scan_capture needs hop ({cfg.hop}) | "
+                             f"block samples ({T_blk})")
         cr, ci = _correction_planes(cfg.geometry.num_elements,
                                     correction)
-        return scan_capture_jit(jnp.asarray(blocks), cr, ci,
-                                A_re_d, A_im_d)
+        return scan_capture_jit(blocks, cr, ci, A_re_d, A_im_d)
+
+    # windows of block 0 that reference the zero prefix (drop them)
+    scan_capture.prefix_windows = _carry_samples // cfg.hop
 
     A_re_d = jax.device_put(A_re)
     A_im_d = jax.device_put(A_im)
@@ -482,6 +513,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     call.jitted = run
     call.jitted_ilv = run_ilv if fast_cov else None
     call.interleaved = call_interleaved
+    call.scan_capture = scan_capture
     call.fast_path = fast_cov
     call.steering_planes = (A_re_d, A_im_d)
     call.config = cfg

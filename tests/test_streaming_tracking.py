@@ -170,3 +170,59 @@ def test_calibration_roundtrip_extensionless_path(tmp_path):
     save_calibration(p, art)
     art2 = load_calibration(p)
     np.testing.assert_allclose(art2.phase_offsets, art.phase_offsets)
+
+
+def test_scan_capture_matches_per_block():
+    """lax.scan capture mode: stacked blocks through one device program
+    must match per-block calls with the continuous-framing carry
+    (hop-aligned, longer than the overlap when hop does not divide it);
+    the first block's zero-prefix windows are dropped."""
+    import jax.numpy as jnp
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec1D)
+    from doa_tpu.io import SourceSpec, synth_ula_iq
+    from doa_tpu.ops.pallas.cov_embedded import to_interleaved
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+    from doa_tpu.cpx import Cpx
+
+    N, S, OV = 8, 256, 64          # hop = 192 does NOT divide overlap
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=N,
+                               norm_spacing=0.5),
+        snapshot_size=S, overlap=OV, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=361), num_max_vals=2,
+        scan_mode="pallas", cov_impl="pallas")
+    pipe = build_pipeline_tpu(cfg, return_spectra=False)
+    assert pipe.fast_path
+    hop = S - OV
+    C = hop * -(-OV // hop)        # carry samples (192)
+    assert pipe.scan_capture.prefix_windows == C // hop == 1
+
+    M, T_blk = 3, 5 * hop          # hop | T_blk required
+    x = synth_ula_iq([SourceSpec(theta_deg=70.0, freq_norm=0.12),
+                      SourceSpec(theta_deg=120.0, freq_norm=0.3)],
+                     N, 0.5, M * T_blk, snr_db=15, seed=9)
+    xc = Cpx.from_complex(x)
+    xil = np.asarray(to_interleaved(xc.re, xc.im))
+    rows_blk = xil.shape[0] // M
+    blocks = xil.reshape(M, rows_blk, xil.shape[1])
+
+    out = pipe.scan_capture(blocks)
+    angs = np.asarray(out["peak_angles"]["music"])   # (M, B_blk, k)
+
+    tp = xil.shape[1] // (2 * N)
+    c_rows = C // tp
+    # blocks 1..M-1: exact parity vs a per-block call with the carry
+    for m in range(1, M):
+        xb = np.concatenate([blocks[m - 1][-c_rows:], blocks[m]], axis=0)
+        ref = pipe.interleaved(jnp.asarray(xb))
+        np.testing.assert_allclose(
+            angs[m], np.asarray(ref.peak_angles["music"]), atol=1e-4)
+    # block 0 beyond the zero-prefix windows: padded window j covers
+    # stream samples starting at j*hop - C, i.e. plain window j-1
+    n_pre = pipe.scan_capture.prefix_windows
+    ref0 = pipe.interleaved(jnp.asarray(blocks[0]))
+    r0 = np.asarray(ref0.peak_angles["music"])
+    n_cmp = angs.shape[1] - n_pre
+    np.testing.assert_allclose(angs[0, n_pre:], r0[:n_cmp], atol=1e-4)
