@@ -13,6 +13,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from doa_tpu.cpx import f32_matmuls as _f32_matmuls
 import jax.numpy as jnp
 
 from doa_tpu.ops.steering import ula_steering
@@ -20,6 +22,7 @@ from doa_tpu.ops.subspace import principal_eigvec
 
 
 @functools.partial(jax.jit, static_argnames=("norm_spacing",))
+@_f32_matmuls
 def element_calibration(R, pilot_theta_deg, norm_spacing: float):
     """R: c64[B, N, N] (pilot-only capture) → corrections c: c64[B, N]."""
     v1 = principal_eigvec(R)                    # (B, N)

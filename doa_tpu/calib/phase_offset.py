@@ -10,10 +10,13 @@ arg → average flowgraph collapsed into a single fused pass.
 from __future__ import annotations
 
 import jax
+
+from doa_tpu.cpx import f32_matmuls as _f32_matmuls
 import jax.numpy as jnp
 
 
 @jax.jit
+@_f32_matmuls
 def phase_offset_est(x, ref_channel: int = 0):
     """x: c64[T, N] common-tone capture → phi: f32[N] radians
     (phi[ref_channel] == 0). Averaging the complex product before taking

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from doa_tpu.cpx import (
     Cpx, embed_hermitian, embed_vector, unembed_hermitian)
@@ -232,40 +233,68 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 16,
     per-window Frobenius scale guarantees the NS basin for any spread.
     Middle rounds run `ns_iters_mid` (conditioning only); the first and
     final rounds run the full chain (the final basis feeds ‖Vtᵀã‖²
-    scans, which require orthonormality)."""
+    scans, which require orthonormality).
+
+    The NS chain runs on PACK=4 windows at once: stacking 4 windows'
+    Vt as block rows gives one (B/4, 4·2K, 4·2K) Gram; masking it to
+    block-diagonal makes every NS product EXACTLY block-diagonal
+    (block-diagonal algebra is closed), so the chain computes the same
+    per-window result with half the HBM traffic — a (B, 2K, 2K) tensor
+    pads its 2K minor to 128 lanes (32×), the packed form only 8×.
+    Matmul precision note: the chain must run at ≥ tensorfloat32
+    (bf16×3) — single-pass-bf16 Grams make the iteration converge to
+    wrong subspaces on structured signals (docs/PERF.md)."""
     K2 = 2 * num_sources
+    PACK = 4
 
     def mm(a, b):
         return jnp.einsum("bij,bjk->bik", a, b,
                           preferred_element_type=jnp.float32)
 
+    n2 = E.shape[-1]
+    B = E.shape[0]
+    Bp = ((B + PACK - 1) // PACK) * PACK
+    mask = jnp.asarray(np.kron(np.eye(PACK, dtype=np.float32),
+                               np.ones((K2, K2), np.float32)))
+    eyeP = jnp.eye(PACK * K2, dtype=E.dtype)
+
     def orthonormalize(Vt, n_ns):
-        G = jnp.einsum("bkn,bln->bkl", Vt, Vt,
-                       preferred_element_type=jnp.float32)
+        """Vt: (Bp, K2, n2) → same, rows orthonormal per window."""
+        Vp = Vt.reshape(Bp // PACK, PACK * K2, n2)   # leading merge: free
+        G = jnp.einsum("bkn,bln->bkl", Vp, Vp,
+                       preferred_element_type=jnp.float32) * mask
         dg = jnp.sqrt(jnp.maximum(
             jnp.diagonal(G, axis1=-2, axis2=-1), 1e-30))
         G = G / dg[..., :, None] / dg[..., None, :]
-        # Frobenius norm, not the trace mean: NS diverges unless
-        # λ(Gn) < 2, and ‖G‖_F ≥ λmax guarantees the basin for any
-        # eigenvalue spread (the trace mean does not — seen at large
-        # signal-amplitude ratios).
-        fro = jnp.sqrt(jnp.sum(G * G, axis=(-2, -1)))[..., None, None]
-        fro = jnp.maximum(fro, 1e-30)
-        Gn = G / fro
-        eye = jnp.eye(K2, dtype=Vt.dtype)
-        Y, Z = Gn, jnp.broadcast_to(eye, Gn.shape)
+        # Per-window Frobenius norm (an UPPER bound on λmax — the trace
+        # mean is not, and NS diverges outside λ(Gn) < 2): off-block
+        # entries are zero, so column sums of G∘G stay within each
+        # window's block; the replicator spreads them to its columns.
+        sq = jnp.sum(G * G, axis=-2)                 # (nb, PACK·K2)
+        fro = jnp.sqrt(jnp.maximum(
+            jnp.einsum("bk,kl->bl", sq, mask,
+                       preferred_element_type=jnp.float32), 1e-30))
+        Gn = G / fro[..., None, :]                   # per-window col scale
+        Y, Z = Gn, jnp.broadcast_to(eyeP, Gn.shape)
         for _ in range(n_ns):                    # Newton-Schulz for G^-1/2
-            T = 0.5 * (3.0 * eye - mm(Z, Y))
+            T = 0.5 * (3.0 * eyeP - mm(Z, Y))
             Y = mm(Y, T)
             Z = mm(T, Z)
         # right factor D^{-1/2}Z̃/√fro applied on the LEFT of Vt
-        return mm(Z, Vt / dg[..., :, None]) / jnp.sqrt(fro)
+        out = mm(Z, Vp / dg[..., :, None]) / jnp.sqrt(fro)[..., :, None]
+        return out.reshape(Bp, K2, n2)
 
     # trace-normalize so powering can't overflow f32
-    tr = jnp.einsum("bii->b", E)[:, None, None] / E.shape[-1]
+    tr = jnp.einsum("bii->b", E)[:, None, None] / n2
     Ep = E / jnp.maximum(tr, 1e-30)
     Ep = mm(Ep, Ep)
     Ep = mm(Ep, Ep)                              # E⁴, spectrum ≤ O(1)
+    if Bp != B:
+        # identity-E padding: its Vt rows are rows of I (orthonormal),
+        # so the NS chain is a no-op on pad windows; sliced off at end
+        Ep = jnp.concatenate(
+            [Ep, jnp.broadcast_to(jnp.eye(n2, dtype=Ep.dtype),
+                                  (Bp - B, n2, n2))], axis=0)
     rounds = max(1, iters // 4)
     Vt = orthonormalize(Ep[..., :K2, :], ns_iters)   # rows: E⁴ sym
     for r in range(rounds - 1):
@@ -273,7 +302,7 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 16,
             jnp.einsum("bkn,bnm->bkm", Vt, Ep,
                        preferred_element_type=jnp.float32),
             ns_iters if r == rounds - 2 else ns_iters_mid)
-    return Vt
+    return Vt[:B]
 
 
 def subspace_residual(E, V_emb):

@@ -144,3 +144,103 @@ def esprit_cpx(R: Cpx, num_sources: int, norm_spacing: float,
                          -1.0, 1.0)
     theta = jnp.rad2deg(jnp.arccos(cos_theta))
     return jnp.sort(theta, axis=-1)
+
+
+def _eig_small_cpx(Psi: Cpx, root_iters: int = 40):
+    """Eigenvalues AND eigenvectors of a small (K ≤ 4) batched complex
+    matrix, eig-free (no TPU `eig` exists):
+
+      * eigenvalues: characteristic polynomial (Faddeev-LeVerrier)
+        rooted with the batched Aberth-Ehrlich iterator;
+      * eigenvectors: Cayley-Hamilton products — for diagonalizable Ψ
+        with eigenvalues λ₁..λ_K,  Π_{j≠i}(Ψ − λ_j I)  maps any generic
+        vector onto the λ_i eigenspace, so t_i = Π_{j≠i}(Ψ − λ_j I)·𝟙
+        (normalized per factor to keep magnitudes bounded).
+
+    → (lam Cpx(B, K), T Cpx(B, K, K) columns = eigenvectors).
+    Assumes distinct eigenvalues (sources with distinct first-axis
+    direction cosines — the standard 2-D ESPRIT identifiability
+    condition)."""
+    K = Psi.shape[-1]
+    B = Psi.shape[:-2]
+    coeffs = _char_poly_coeffs(Psi)
+    lam = polynomial_roots_cpx(coeffs, num_iters=root_iters)
+    eye = _eye_like(K, B)
+    cols = []
+    for i in range(K):
+        v = Cpx(jnp.ones(B + (K, 1)), jnp.zeros(B + (K, 1)))
+        for j in range(K):
+            if j == i:
+                continue
+            lj_re = lam.re[..., j][..., None, None]
+            lj_im = lam.im[..., j][..., None, None]
+            M = Cpx(Psi.re - eye.re * lj_re, Psi.im - eye.re * lj_im)
+            v = _mm(M, v)
+            nrm = jnp.sqrt(jnp.sum(v.re * v.re + v.im * v.im,
+                                   axis=-2, keepdims=True))
+            v = Cpx(v.re / jnp.maximum(nrm, 1e-30),
+                    v.im / jnp.maximum(nrm, 1e-30))
+        cols.append(v)
+    T = Cpx(jnp.concatenate([c.re for c in cols], axis=-1),
+            jnp.concatenate([c.im for c in cols], axis=-1))
+    return lam, T
+
+
+def esprit_2d_cpx(R: Cpx, num_sources: int, norm_spacing: float,
+                  shape, subspace_iters: int = 16, root_iters: int = 40):
+    """2-D LS-ESPRIT for a uniform rectangular array (grid-free az/el —
+    beyond the reference, which has no 2-D estimator at all).
+
+    R: Cpx[B, N, N] with N = nx·ny (x-major flattening, matching
+    ops.steering.ura_steering) → (az_deg, el_deg) each f32[B, K],
+    pairs aligned, sorted by azimuth.
+
+    Two shift invariances of the signal subspace: along x (drop last /
+    first element row) and along y (column). Ψx's eigen-decomposition
+    (char-poly + Aberth + Cayley-Hamilton eigenvectors — eig-free)
+    gives the x direction cosines AND the mixing matrix T; the y
+    eigenvalues PAIR automatically as Rayleigh quotients
+    μy_i = t_iᴴ(Ψy t_i)/t_iᴴt_i — valid because Ψx and Ψy share
+    eigenvectors (both equal T⁻¹·diag·T for the same source mixing T).
+    Identifiability needs distinct x-cosines; sources sharing ux are a
+    documented limitation of this family (use the hierarchical 2-D
+    scan there)."""
+    nx, ny = shape
+    K = num_sources
+    Es = signal_subspace_cpx(R, K, iters=subspace_iters)
+    B = Es.shape[0]
+
+    def sel(plane, axis, lo):
+        r = plane.reshape(B, nx, ny, K)
+        if axis == 0:
+            r = r[:, :-1] if lo else r[:, 1:]
+            return r.reshape(B, (nx - 1) * ny, K)
+        r = r[:, :, :-1] if lo else r[:, :, 1:]
+        return r.reshape(B, nx * (ny - 1), K)
+
+    def psi(axis):
+        E1 = Cpx(sel(Es.re, axis, True), sel(Es.im, axis, True))
+        E2 = Cpx(sel(Es.re, axis, False), sel(Es.im, axis, False))
+        Ginv = _ns_inverse(_gram(E1))
+        return _mm(Ginv, _mm(_herm(E1), E2))
+
+    Psix = psi(0)
+    Psiy = psi(1)
+    lamx, T = _eig_small_cpx(Psix, root_iters=root_iters)
+    W = _mm(Psiy, T)
+    # paired y eigenvalues: per-column Rayleigh quotient ⟨t_i, w_i⟩/⟨t_i, t_i⟩
+    nre = jnp.sum(T.re * W.re + T.im * W.im, axis=-2)
+    nim = jnp.sum(T.re * W.im - T.im * W.re, axis=-2)
+    den = jnp.maximum(jnp.sum(T.re * T.re + T.im * T.im, axis=-2), 1e-30)
+    muy = Cpx(nre / den, nim / den)                  # (B, K)
+
+    # steering phase = −2πd(ux·ix + uy·iy) ⇒ shift factor e^{−j2πd·u}
+    scale = 2.0 * jnp.pi * norm_spacing
+    ux = -lamx.angle() / scale
+    uy = -muy.angle() / scale
+    az = jnp.rad2deg(jnp.arctan2(ux, uy))
+    r = jnp.sqrt(ux * ux + uy * uy)
+    el = jnp.rad2deg(jnp.arccos(jnp.clip(r, 0.0, 1.0)))
+    order = jnp.argsort(az, axis=-1)
+    return (jnp.take_along_axis(az, order, axis=-1),
+            jnp.take_along_axis(el, order, axis=-1))

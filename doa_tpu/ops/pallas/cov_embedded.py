@@ -71,9 +71,11 @@ def to_interleaved(re, im):
     re_r = re.reshape(T // tp, tp * N)
     im_r = im.reshape(T // tp, tp * N)
     return (jnp.dot(re_r, jnp.asarray(Pr),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             + jnp.dot(im_r, jnp.asarray(Pi),
-                      preferred_element_type=jnp.float32))
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST))
 
 
 def _blockdiag_np(block: np.ndarray, n: int) -> np.ndarray:
@@ -106,8 +108,10 @@ def _cov_kernel(z_ref, p_ref, wre_ref, wim_ref, e_ref, *, N: int,
     form compiles and the small ops cost ~1 ms/call at the headline
     config.)"""
     f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=hp)
     rows = hop // tp
     n2 = 2 * N
     Pm = p_ref[...]
@@ -118,7 +122,9 @@ def _cov_kernel(z_ref, p_ref, wre_ref, wim_ref, e_ref, *, N: int,
         if compute_dtype != f32:
             z = z.astype(compute_dtype)
         U = jax.lax.dot_general(                     # (width, width)
-            z, z, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+            z, z, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=(hp if compute_dtype == f32
+                       else jax.lax.Precision.DEFAULT))
         U32 = U[:n2, :n2]
         for i in range(1, tp):
             U32 = U32 + U[i * n2:(i + 1) * n2, i * n2:(i + 1) * n2]
@@ -136,57 +142,46 @@ def _cov_kernel(z_ref, p_ref, wre_ref, wim_ref, e_ref, *, N: int,
         e_ref[c] = jnp.concatenate([top, bot], axis=0)
 
 
-def _cov_kernel_stacked(z_ref, d_ref, bddt_ref, bdp_ref, pt_ref,
-                        bdm_ref, mt_ref, bdsw_ref, mask_ref, t1_ref,
-                        t2_ref, bdx2_ref, x2t_ref, e_ref, *, N: int,
-                        hop: int, tp: int,
-                        cb: int, fb: bool, scale: float, compute_dtype):
-    """Stacked variant: per-chunk work is ONLY the full-lane Gram (+ one
-    elementwise block mask); everything downstream — time-diagonal block
-    sum, interleaved→planar permutation, Jp symmetrization (the embed),
-    correction, FB — runs as ~9 program-wide matmuls on the VERTICAL
-    chunk stack with static block-diagonal left factors. The per-chunk
-    form (_cov_kernel) issues ~15 small ops per chunk and measures
-    op-latency-bound (8.7 ms at the headline config, vs ~2.8 ms of
-    actual f32 MXU Gram work); this one replaces 120 small ops per
-    program with ~30.
+def _cov_kernel_uhat(z_ref, u_ref, *, N: int, hop: int, tp: int,
+                     cb: int, compute_dtype):
+    """Stacked variant kernel: emits the INTERLEAVED-BASIS chunk Grams
+    Û_c = Σ_t u_t u_tᵀ (2N, 2N) only; the planar permutation, Jp embed,
+    correction, and FB averaging run OUTSIDE in XLA on the (windowed)
+    chunk stack — XLA supports the 3-pass tensorfloat32 precision these
+    value-carrying transforms need, Mosaic only has 1-pass bf16 or
+    6-pass f32 (measured: the in-kernel transform matmuls cost 13 ms at
+    HIGHEST vs ~1.5 ms as batched XLA einsums at tf32).
 
-    (A different horizontal-stack formulation SIGABRTed an earlier state
-    of this container's Mosaic toolchain — see git history e1abc55;
-    this vertical-stack form compiles, and the per-chunk fallback stays
-    selectable via variant='chunk'.)"""
+    The f32 Gram runs as a symmetric bf16 hi/lo split:
+        U = hhᵀhh + hiᵀlo + (hiᵀlo)ᵀ      (two single-pass MXU dots)
+    which carries ~16 mantissa bits of the inputs (beyond any ADC) at
+    one third the passes of Precision.HIGHEST. The time-diagonal block
+    sum is exact VPU adds."""
     f32 = jnp.float32
-    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    # precision pinned explicitly: an ambient default_matmul_precision
+    # scope (the pipelines trace under tensorfloat32) would otherwise
+    # leak in, and Mosaic cannot lower HIGH.
+    gram = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)
     rows = hop // tp
     n2 = 2 * N
-    mask = mask_ref[...]                             # (width, width)
-    Us = []
+    outs = []
     for c in range(cb):
         z = z_ref[c * rows:(c + 1) * rows, :]
         if compute_dtype != f32:
-            z = z.astype(compute_dtype)
-        U = jax.lax.dot_general(                     # (width, width)
-            z, z, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        Us.append(U * mask)          # keep time-diagonal 2N×2N blocks
-    Ustack = jnp.concatenate(Us, axis=0)             # (cb·width, width)
-    # time-diagonal block sum per chunk: Û_c = Dᵀ (U_c ∘ mask) D,
-    # stacked as two matmuls (BD_Dt = blockdiag(Dᵀ) picks its own chunk)
-    X = dot(Ustack, d_ref[...])                      # (cb·width, 2N)
-    Uhat = dot(bddt_ref[...], X)                     # (cb·2N, 2N)
-    # embed: E = P Û Pᵀ + (Jp P) Û (Jp P)ᵀ, stacked left factors
-    E = (dot(bdp_ref[...], dot(Uhat, pt_ref[...]))
-         + dot(bdm_ref[...], dot(Uhat, mt_ref[...]))) * scale
-    # correction (c cᴴ)∘R on the embedding:
-    #   E ← E∘T1 + (Fsw E)∘T2, Fsw = [[0,I],[I,0]] per chunk block
-    Esw = dot(bdsw_ref[...], E)
-    E = E * t1_ref[...] + Esw * t2_ref[...]
-    if fb:
-        # ½(E + X₂ E X₂ᵀ), X₂ = blockdiag(X, −X), X the exchange
-        # matrix: forward-backward averaging on the embedding (the −X
-        # on the imag half carries the conjugation).
-        E = 0.5 * (E + dot(bdx2_ref[...], dot(E, x2t_ref[...])))
-    e_ref[...] = E
+            zb = z.astype(compute_dtype)
+            U = gram(zb, zb)
+        else:
+            z_hi = z.astype(jnp.bfloat16)
+            z_lo = (z - z_hi.astype(f32)).astype(jnp.bfloat16)
+            hl = gram(z_hi, z_lo)
+            U = gram(z_hi, z_hi) + hl + hl.T
+        u32 = U[0:n2, 0:n2]
+        for i in range(1, tp):
+            u32 = u32 + U[i * n2:(i + 1) * n2, i * n2:(i + 1) * n2]
+        outs.append(u32)
+    u_ref[...] = jnp.concatenate(outs, axis=0)       # (cb·2N, 2N)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -237,57 +232,63 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
     rows = hop // tp
 
     if variant == "stacked":
-        # --- static factors -------------------------------------------
-        D = np.zeros((width, n2), np.float32)
-        for i in range(tp):
-            D[i * n2:(i + 1) * n2, :] = np.eye(n2, dtype=np.float32)
-        Jp = np.zeros((n2, n2), np.float32)
-        Jp[:N, N:] = -np.eye(N, dtype=np.float32)
-        Jp[N:, :N] = np.eye(N, dtype=np.float32)
-        M = Jp @ Pm_np
-        Fsw = np.zeros((n2, n2), np.float32)
-        Fsw[:N, N:] = np.eye(N, dtype=np.float32)
-        Fsw[N:, :N] = np.eye(N, dtype=np.float32)
-        Xex = np.eye(N, dtype=np.float32)[::-1]
-        X2 = np.zeros((n2, n2), np.float32)
-        X2[:N, :N] = Xex
-        X2[N:, N:] = -Xex
-        mask = _blockdiag_np(np.ones((n2, n2), np.float32), tp)
-        consts = [D, _blockdiag_np(D.T, cb), _blockdiag_np(Pm_np, cb),
-                  Pm_np.T, _blockdiag_np(M, cb), M.T,
-                  _blockdiag_np(Fsw, cb), mask]
-        # --- dynamic correction masks (runtime inputs) ----------------
-        T1b = jnp.concatenate(
-            [jnp.concatenate([W[0], W[0]], axis=1)] * 2, axis=0)
-        T2b = jnp.concatenate(
-            [jnp.concatenate([-W[1], -W[1]], axis=1),
-             jnp.concatenate([W[1], W[1]], axis=1)], axis=0)
-        T1s = jnp.concatenate([T1b] * cb, axis=0)    # (cb·2N, 2N)
-        T2s = jnp.concatenate([T2b] * cb, axis=0)
-        cspec = lambda r, c: pl.BlockSpec(  # noqa: E731
-            (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        Es = pl.pallas_call(
-            functools.partial(_cov_kernel_stacked, N=N, hop=hop, tp=tp,
-                              cb=cb, fb=fb, scale=1.0 / S,
-                              compute_dtype=compute_dtype),
+        Us = pl.pallas_call(
+            functools.partial(_cov_kernel_uhat, N=N, hop=hop, tp=tp,
+                              cb=cb, compute_dtype=compute_dtype),
             grid=(n // cb,),
             in_specs=[
                 pl.BlockSpec((cb * rows, width), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                cspec(width, n2), cspec(cb * n2, cb * width),
-                cspec(cb * n2, cb * n2), cspec(n2, n2),
-                cspec(cb * n2, cb * n2), cspec(n2, n2),
-                cspec(cb * n2, cb * n2), cspec(width, width),
-                cspec(cb * n2, n2), cspec(cb * n2, n2),
-                cspec(cb * n2, cb * n2), cspec(n2, n2),
             ],
             out_specs=pl.BlockSpec((cb * n2, n2), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n * n2, n2), jnp.float32),
             interpret=interpret,
-        )(xil[: (n * hop) // tp], *map(jnp.asarray, consts), T1s, T2s,
-          jnp.asarray(_blockdiag_np(X2, cb)), jnp.asarray(X2.T))
-        E = Es.reshape(n, n2, n2)
+        )(xil[: (n * hop) // tp])
+        U = Us.reshape(n, n2, n2)                    # interleaved basis
+        # windows FIRST (linear ops all commute with the chunk sum)
+        if n_win == 1:
+            Uw = U[:B]
+        else:
+            csum = jnp.concatenate(
+                [jnp.zeros((1, n2, n2), U.dtype),
+                 jnp.cumsum(U, axis=0)], axis=0)
+            lo = csum[0:(B - 1) * stride + 1:stride]
+            hi = csum[n_win:n_win + (B - 1) * stride + 1:stride]
+            Uw = hi - lo
+        # basis transform + correction + FB as batched XLA einsums at
+        # tensorfloat32 (value-carrying: single-pass bf16 would round R
+        # ~0.4% relative; Mosaic has no 3-pass mode — docs/PERF.md).
+        with jax.default_matmul_precision("tensorfloat32"):
+            Jp = np.zeros((n2, n2), np.float32)
+            Jp[:N, N:] = -np.eye(N, dtype=np.float32)
+            Jp[N:, :N] = np.eye(N, dtype=np.float32)
+            M = jnp.asarray(Jp @ Pm_np)
+            P = jnp.asarray(Pm_np)
+            bmm = lambda a, b: jnp.einsum(  # noqa: E731
+                "bij,jk->bik", a, b, preferred_element_type=jnp.float32)
+            lmm = lambda a, b: jnp.einsum(  # noqa: E731
+                "ij,bjk->bik", a, b, preferred_element_type=jnp.float32)
+            E = (lmm(P, bmm(Uw, P.T))
+                 + lmm(M, bmm(Uw, M.T))) * (1.0 / S)
+            # correction (c cᴴ)∘R on the embedding:
+            #   E ← E∘T1 + (Fsw E)∘T2 with Fsw E = row-halves swapped
+            T1b = jnp.concatenate(
+                [jnp.concatenate([W[0], W[0]], axis=1)] * 2, axis=0)
+            T2b = jnp.concatenate(
+                [jnp.concatenate([-W[1], -W[1]], axis=1),
+                 jnp.concatenate([W[1], W[1]], axis=1)], axis=0)
+            Esw = jnp.concatenate([E[:, N:, :], E[:, :N, :]], axis=1)
+            E = E * T1b[None] + Esw * T2b[None]
+            if fb:
+                # ½(E + X₂ E X₂ᵀ), X₂ = blockdiag(X, −X), X exchange
+                Xex = np.eye(N, dtype=np.float32)[::-1]
+                X2 = np.zeros((n2, n2), np.float32)
+                X2[:N, :N] = Xex
+                X2[N:, N:] = -Xex
+                X2 = jnp.asarray(X2)
+                E = 0.5 * (E + lmm(X2, bmm(E, X2.T)))
+        return E
     else:
         E = pl.pallas_call(
             functools.partial(_cov_kernel, N=N, hop=hop, tp=tp, cb=cb,

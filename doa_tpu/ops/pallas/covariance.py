@@ -41,7 +41,10 @@ def _chunk_kernel(xr_ref, xi_ref, rr_ref, ri_ref, *, hop: int, cb: int,
             z = z.astype(compute_dtype)
         g = jax.lax.dot_general(
             z, z, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (2N, 2N)
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if compute_dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT))
         rr_ref[c] = g[:N, :N] + g[N:, N:]
         ri_ref[c] = g[N:, :N] - g[:N, N:]
 
@@ -97,7 +100,8 @@ def _cov_kernel(z_hbm, out_ref, scratch, sem, *, snap: int, hop: int):
     z = scratch[:]
     out_ref[0] = jax.lax.dot_general(
         z, z, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit,

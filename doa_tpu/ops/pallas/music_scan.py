@@ -54,9 +54,12 @@ def pack_subspace(V_emb, block_b: int):
 
 
 def _scan_kernel(nrm_ref, vp_ref, at_ref, s_ref, out_ref):
-    y = jnp.dot(vp_ref[0], at_ref[:], preferred_element_type=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.dot(vp_ref[0], at_ref[:], preferred_element_type=jnp.float32,
+                precision=hp)
     y2 = y * y                                    # (BT·2K, GT)
-    part = jnp.dot(s_ref[:], y2, preferred_element_type=jnp.float32)
+    part = jnp.dot(s_ref[:], y2, preferred_element_type=jnp.float32,
+                   precision=hp)
     den = nrm_ref[:] - part                       # (BT, GT) via broadcast
     den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
     out_ref[:] = 1.0 / den
@@ -146,8 +149,11 @@ def _scan_peaks_kernel(nrm_ref, vp_ref, at_ref, s_ref, out_ref, *,
     delta = ½(qm−qp)/(qm−2q0+qp) is scale-invariant, so q = den gives
     the identical sub-bin offset without materializing 1/P."""
     f32 = jnp.float32
-    y = jnp.dot(vp_ref[0], at_ref[:], preferred_element_type=f32)
-    part = jnp.dot(s_ref[:], y * y, preferred_element_type=f32)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.dot(vp_ref[0], at_ref[:], preferred_element_type=f32,
+                precision=hp)
+    part = jnp.dot(s_ref[:], y * y, preferred_element_type=f32,
+                   precision=hp)
     den = nrm_ref[:] - part                       # (BT, Gp)
     den = jnp.maximum(den, jnp.finfo(f32).tiny)
     dmin = jnp.min(den, axis=-1, keepdims=True)

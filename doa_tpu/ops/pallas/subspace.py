@@ -65,10 +65,16 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, d_ref, out_ref, *,
     wk = W * k2             # consolidated V column count
 
     f32 = jnp.float32
+    # explicit HIGHEST: Mosaic dots default to single-pass bf16, which
+    # breaks the iteration's convergence exactly like the XLA default
+    # precision did (docs/PERF.md "matmul precision"); HIGHEST = true
+    # f32 via multi-pass MXU.
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
     dotT = lambda a, b: jax.lax.dot_general(  # contract rows: aᵀ·b  # noqa: E731
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
 
     e = e_ref[...]                                   # (W, n2, n2)
 
@@ -160,7 +166,8 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, d_ref, out_ref, *,
         Vg = V[g * bd:(g + 1) * bd, g * gw * k2:(g + 1) * gw * k2]
         outs.append(jax.lax.dot_general(
             Vg, d_ref[...], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32))             # (gw·k2, n2)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST))    # (gw·k2, n2)
     out_ref[...] = jnp.concatenate(outs, axis=0)
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from doa_tpu.configs import AvgMethod, DoaConfig, Estimator
-from doa_tpu.cpx import Cpx
+from doa_tpu.cpx import f32_matmuls, Cpx
 from doa_tpu.ops import cpx_ops
 from doa_tpu.ops.peaks import find_local_max
 from doa_tpu.parallel.mesh import GRID_AXIS, SNAP_AXIS
@@ -255,7 +255,7 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
         out_specs=out_specs,
         check_vma=False,
     )
-    jitted = jax.jit(mapped)
+    jitted = jax.jit(f32_matmuls(mapped))
 
     A_sh = NamedSharding(mesh, P(GRID_AXIS, None))
     Ar_d = jax.device_put(
@@ -384,7 +384,7 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         out_specs=out_specs,
         check_vma=False,
     )
-    jitted = jax.jit(mapped)
+    jitted = jax.jit(f32_matmuls(mapped))
 
     A_sh = NamedSharding(mesh, P(GRID_AXIS, None, None))
     Asr_d = jax.device_put(
@@ -446,7 +446,7 @@ def distributed_covariance(mesh: Mesh):
         out_specs=(P(), P()),
         check_vma=False,
     )
-    jitted = jax.jit(mapped)
+    jitted = jax.jit(f32_matmuls(mapped))
 
     def call(x):
         if isinstance(x, Cpx):

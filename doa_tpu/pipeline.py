@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from doa_tpu.configs import AvgMethod, DoaConfig, Estimator
+from doa_tpu.cpx import f32_matmuls
 from doa_tpu.ops import covariance as cov_ops
 from doa_tpu.ops import steering as steer_ops
 from doa_tpu.ops.capon import capon_spectrum
@@ -131,6 +132,7 @@ def build_pipeline(cfg: DoaConfig, refine_peaks: bool = True,
     want_root = Estimator.ROOT_MUSIC in cfg.estimators
 
     @jax.jit
+    @f32_matmuls
     def run(x, correction, A):
         x = x * correction[None, :]
         R = compute_covariances(x, cfg)

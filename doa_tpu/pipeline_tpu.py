@@ -333,6 +333,13 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             from doa_tpu.ops.esprit import esprit_cpx
             esprit_angles = esprit_cpx(
                 R, cfg.num_sources, cfg.geometry.norm_spacing)
+        elif (Estimator.ESPRIT in cfg.estimators
+                and cfg.geometry.kind == "ura"):
+            from doa_tpu.ops.esprit import esprit_2d_cpx
+            az, el = esprit_2d_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing,
+                cfg.geometry.shape)
+            esprit_angles = jnp.stack([az, el], axis=-1)  # (B, K, 2)
         return dict(
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
@@ -401,9 +408,11 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         R, E_win = _fast_cov(xil, cr, ci)
         return _estimate(R, E_win, Ar, Ai)
 
+    from doa_tpu.cpx import f32_matmuls
     run_ilv_py = run_ilv
-    run = jax.jit(run, donate_argnums=(0, 1) if donate_inputs else ())
-    run_ilv = jax.jit(run_ilv,
+    run = jax.jit(f32_matmuls(run),
+                  donate_argnums=(0, 1) if donate_inputs else ())
+    run_ilv = jax.jit(f32_matmuls(run_ilv),
                       donate_argnums=(0,) if donate_inputs else ())
 
     # Carry for continuous framing across blocks: window starts are
@@ -437,7 +446,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         return jax.lax.scan(body, init, blks)[1]
 
     scan_capture_jit = jax.jit(
-        _scan_capture_core,
+        f32_matmuls(_scan_capture_core),
         donate_argnums=(0,) if donate_inputs else ())
 
     def scan_capture(blocks, correction=None):
