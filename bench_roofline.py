@@ -39,7 +39,7 @@ def main():
 
     from doa_tpu.configs import (
         ArrayGeometry, DoaConfig, Estimator, GridSpec1D)
-    from doa_tpu.cpx import Cpx, embed_vector
+    from doa_tpu.cpx import Cpx, embed_vector, f32_matmuls
     from doa_tpu.ops import cpx_ops
     from doa_tpu.ops.peaks import find_local_max
     from doa_tpu.pipeline_tpu import build_pipeline_tpu
@@ -97,8 +97,8 @@ def main():
     n2, k2 = 2 * N, 2 * K
 
     # ---- stage: covariance (chunk Grams) -----------------------------
-    cov = jax.jit(lambda xr, xi: cpx_ops.cov_from_stream_cpx(
-        Cpx(xr, xi), SNAP, 0).re)
+    cov = jax.jit(f32_matmuls(lambda xr, xi: cpx_ops.cov_from_stream_cpx(
+        Cpx(xr, xi), SNAP, 0).re))
     cov_bytes = (2 * T * N * 4 + B * 2 * N * N * 4) / GB
     cov_flops = (2 * T * n2 * n2) / GB
     measure("covariance", cov, (xr, xi), cov_bytes, cov_flops)
@@ -106,8 +106,8 @@ def main():
     # ---- stage: subspace iteration -----------------------------------
     R = jax.block_until_ready(
         cpx_ops.cov_from_stream_cpx(Cpx(xr, xi), SNAP, 0))
-    sub = jax.jit(lambda rr, ri: cpx_ops.signal_subspace_embedded(
-        Cpx(rr, ri), K, iters=16))
+    sub = jax.jit(f32_matmuls(lambda rr, ri: cpx_ops.signal_subspace_embedded(
+        Cpx(rr, ri), K, iters=16)))
     it_total = 16 + 9  # 16 E@V + ~9 orthonormalize passes reading V only
     sub_bytes = (B * n2 * n2 * 4 * (16 + 1) + B * n2 * k2 * 4 * it_total) / GB
     sub_flops = (16 * 2 * B * n2 * n2 * k2) / GB
@@ -127,7 +127,7 @@ def main():
 
     scan_bytes = (B * n2 * k2 * 4 + GRID * n2 * 4 + B * GRID * 4) / GB
     scan_flops = (2 * B * GRID * n2 * k2 + 3 * B * GRID * k2) / GB
-    measure("music_scan_xla_f32", jax.jit(scan_xla), (V_emb, At),
+    measure("music_scan_xla_f32", jax.jit(f32_matmuls(scan_xla)), (V_emb, At),
             scan_bytes, scan_flops)
 
     # ---- stage: MUSIC scan bf16 --------------------------------------
@@ -139,7 +139,7 @@ def main():
         den = nrm[None, :] - jnp.sum(Y * Y, axis=-1)
         return 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
 
-    measure("music_scan_xla_bf16", jax.jit(scan_bf16), (V_emb, At),
+    measure("music_scan_xla_bf16", jax.jit(f32_matmuls(scan_bf16)), (V_emb, At),
             scan_bytes, scan_flops, peak=V5E_BF16)
 
     # ---- stage: MUSIC scan Pallas lane-packed ------------------------
@@ -152,8 +152,8 @@ def main():
 
     # ---- stage: peaks --------------------------------------------------
     P = jax.block_until_ready(jax.jit(scan_xla)(V_emb, At))
-    peaks = jax.jit(lambda P: find_local_max(
-        P / jnp.max(P, -1, keepdims=True), 2, 0.0, 180.0)[1])
+    peaks = jax.jit(f32_matmuls(lambda P: find_local_max(
+        P / jnp.max(P, -1, keepdims=True), 2, 0.0, 180.0)[1]))
     peaks_bytes = (3 * B * GRID * 4) / GB
     measure("normalize_peaks", peaks, (P,), peaks_bytes, 0.0)
 

@@ -92,3 +92,65 @@ def test_eval_harness_rmse():
     assert by_est["music"].rmse_deg < 0.5, by_est["music"]
     assert by_est["music"].resolve_prob == 1.0
     assert by_est["root_music"].rmse_deg < 0.5, by_est["root_music"]
+
+
+def test_esprit_2d_recovers_az_el():
+    """2-D LS-ESPRIT on a URA: paired az/el, grid-free."""
+    from doa_tpu.ops.esprit import esprit_2d_cpx
+    from doa_tpu.io.synthetic import SourceSpec, synth_ura_iq
+
+    shape = (4, 4)
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.1),
+         SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.3)],
+        shape, 0.5, 16 * 1024, snr_db=15, seed=5)
+    R = golden.sample_covariance(golden.frame_samples(x, 1024, 0))
+    az, el = esprit_2d_cpx(Cpx.from_complex(R), 2, 0.5, shape)
+    az_m, el_m = np.asarray(az).mean(0), np.asarray(el).mean(0)
+    # sorted by az: [-20, 35]; pairing must hold el = [30, 60]
+    np.testing.assert_allclose(az_m, [-20.0, 35.0], atol=0.3)
+    np.testing.assert_allclose(el_m, [30.0, 60.0], atol=0.3)
+
+
+def test_esprit_2d_three_sources_pairing():
+    """K=3 with distinct x-cosines: pairing via Cayley-Hamilton
+    eigenvectors + Rayleigh quotients must keep (az, el) together."""
+    from doa_tpu.ops.esprit import esprit_2d_cpx
+    from doa_tpu.io.synthetic import SourceSpec, synth_ura_iq
+
+    shape = (6, 6)
+    truth = [(-40.0, 20.0), (5.0, 55.0), (50.0, 35.0)]
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=a, el_deg=e, freq_norm=0.08 + 0.09 * i)
+         for i, (a, e) in enumerate(truth)],
+        shape, 0.5, 24 * 1024, snr_db=15, seed=6)
+    R = golden.sample_covariance(golden.frame_samples(x, 1024, 0))
+    az, el = esprit_2d_cpx(Cpx.from_complex(R), 3, 0.5, shape)
+    az_m, el_m = np.asarray(az).mean(0), np.asarray(el).mean(0)
+    np.testing.assert_allclose(az_m, [-40.0, 5.0, 50.0], atol=0.5)
+    np.testing.assert_allclose(el_m, [20.0, 55.0, 35.0], atol=0.5)
+
+
+def test_esprit_2d_pipeline_integration():
+    """Estimator.ESPRIT on a ura config produces (B, K, 2) az/el."""
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec2D)
+    from doa_tpu.io.synthetic import SourceSpec, synth_ura_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ura", num_elements=16,
+                               norm_spacing=0.5, shape=(4, 4)),
+        snapshot_size=512, num_sources=2,
+        estimators=(Estimator.MUSIC, Estimator.ESPRIT),
+        grid2d=GridSpec2D(num_az=61, num_el=31), num_max_vals=2)
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.1),
+         SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.3)],
+        (4, 4), 0.5, 8 * 512, snr_db=15, seed=7).astype(np.complex64)
+    res = build_pipeline_tpu(cfg)(x)
+    ang = np.asarray(res.esprit_angles)
+    assert ang.shape == (8, 2, 2)
+    med = np.median(ang, axis=0)
+    np.testing.assert_allclose(med[:, 0], [-20.0, 35.0], atol=1.0)
+    np.testing.assert_allclose(med[:, 1], [30.0, 60.0], atol=1.0)

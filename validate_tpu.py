@@ -1,0 +1,58 @@
+"""End-to-end validation of all five BASELINE presets on real TPU.
+
+Hardware accuracy gate: CPU tests (and Pallas interpret mode) execute
+exact f32 arithmetic, so they CANNOT catch TPU matmul-precision
+regressions (docs/PERF.md "matmul precision"). Run this after touching
+any compute path; every estimate should match truth to ~0.01 deg
+(c1-c4) / the wideband tolerance (c5).
+
+Run: timeout 3600 python validate_tpu.py
+"""
+import numpy as np, jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from doa_tpu import PRESETS
+from doa_tpu.io.synthetic import (SourceSpec, synth_ula_iq, synth_ura_iq,
+                                  synth_wideband_ula_iq)
+from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+def log(m): print(m, flush=True)
+
+cfg = PRESETS["c1_ula4_tone"]
+x = synth_ula_iq([SourceSpec(theta_deg=72.3, freq_norm=0.1)], 4, 0.5,
+                 64 * 256, snr_db=10, seed=1).astype(np.complex64)
+r = build_pipeline_tpu(cfg)(x)
+log(f"c1: est {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [72.3]")
+
+cfg = PRESETS["c2_ula8_2src"]
+x = synth_ula_iq([SourceSpec(theta_deg=60.0, freq_norm=0.1),
+                  SourceSpec(theta_deg=110.0, freq_norm=0.31)], 8, 0.5,
+                 16 * 2048, snr_db=10, seed=2).astype(np.complex64)
+r = build_pipeline_tpu(cfg)(x)
+for n in ("music", "capon"):
+    log(f"c2 {n}: {np.sort(np.asarray(r.peak_angles[n]), -1).mean(0)} truth [60 110]")
+
+cfg = PRESETS["c3_ula16_calib_smooth"]
+srcs = [SourceSpec(theta_deg=40.0, freq_norm=0.12),
+        SourceSpec(theta_deg=70.0, freq_norm=0.12),   # same tone: coherent
+        SourceSpec(theta_deg=100.0, freq_norm=0.3)]
+x = synth_ula_iq(srcs, 16, 0.5, 32 * 1024, snr_db=10, seed=3).astype(np.complex64)
+r = build_pipeline_tpu(cfg)(x)
+log(f"c3 music: {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [40 70 100]")
+
+cfg = PRESETS["c4_ula16_streaming"]
+x = synth_ula_iq([SourceSpec(theta_deg=80.0, freq_norm=0.11),
+                  SourceSpec(theta_deg=100.0, freq_norm=0.27)], 16, 0.5,
+                 32 * 1024, snr_db=10, seed=4).astype(np.complex64)
+r = build_pipeline_tpu(cfg)(x)
+log(f"c4 music: {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [80 100]")
+
+cfg = PRESETS["c5_ura64_wideband"]
+x = synth_ura_iq([SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.05,
+                             bandwidth_norm=0.2),
+                  SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.25,
+                             bandwidth_norm=0.2)],
+                 cfg.geometry.shape, 0.5, 32 * 1024, snr_db=10,
+                 seed=5).astype(np.complex64)
+r = build_pipeline_tpu(cfg)(x)
+log(f"c5 music az/el: {np.asarray(r.peak_angles['music']).mean(0)} truth [(-20,30),(35,60)]")
