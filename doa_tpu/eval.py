@@ -82,7 +82,7 @@ def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
                     for i, t in enumerate(truth)]
             x = synth_ula_iq(srcs, cfg.geometry.num_elements,
                              cfg.geometry.norm_spacing, T, snr_db=snr,
-                             seed=seed * 1000 + tr * 17 + int(snr * 3))
+                             seed=seed * 1000 + tr * 17 + (int(snr * 3) & 0xFFFF))
             out = pipe(x)
             nwin += windows_per_trial
             cand: Dict[str, np.ndarray] = {

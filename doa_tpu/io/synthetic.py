@@ -198,3 +198,50 @@ def synth_ura_iq(
     A = np.exp(1j * phase).reshape(len(sources), nx * ny)
     clean = wave @ A
     return _add_noise_and_impair(clean, snr_db, rng)
+
+
+def synth_wideband_ura_iq(
+    sources: Sequence[SourceSpec],
+    shape: Tuple[int, int],
+    norm_spacing: float,
+    num_samples: int,
+    fractional_bw: float,
+    snr_db: float = 10.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Physically-modeled wideband PLANAR capture (config 5 ground truth).
+
+    FFT-domain synthesis: complex white noise on every length-T FFT bin
+    inside each source's band, each bin steered at its own effective
+    spacing norm_spacing·(1 + f·fractional_bw) on BOTH array axes — the
+    continuous-spectrum model ops.wideband's per-subband steering stack
+    inverts, with no off-bin tone-leakage artifacts. (synth_ura_iq with
+    bandwidth_norm > 0 generates band-limited noise with
+    frequency-INDEPENDENT steering — an unphysical approximation that
+    biases wideband estimators by several degrees for sources away from
+    band center.)"""
+    rng = np.random.default_rng(seed)
+    T = num_samples
+    nx, ny = shape
+    ix = np.arange(nx).reshape(-1)[:, None]
+    iy = np.arange(ny).reshape(-1)[None, :]
+    freqs = np.fft.fftfreq(T)                        # [-0.5, 0.5)
+    spec = np.zeros((T, nx * ny), dtype=np.complex128)
+    for s in sources:
+        bw = max(s.bandwidth_norm, 1.0 / T)
+        lo, hi = s.freq_norm - bw / 2, s.freq_norm + bw / 2
+        band = np.where((freqs >= lo) & (freqs < hi))[0]
+        az = np.deg2rad(s.az_deg)
+        el = np.deg2rad(s.el_deg)
+        ux = np.cos(el) * np.sin(az)
+        uy = np.cos(el) * np.cos(az)
+        w = (rng.standard_normal((band.size, 1))
+             + 1j * rng.standard_normal((band.size, 1)))
+        w *= s.amplitude * np.sqrt(T / (2.0 * band.size))
+        d_eff = norm_spacing * (1.0 + freqs[band] * fractional_bw)
+        phase = (-2 * np.pi * d_eff[:, None, None]
+                 * (ux * ix + uy * iy)[None, :, :])  # (Tb, nx, ny)
+        A = np.exp(1j * phase).reshape(band.size, nx * ny)
+        spec[band] += w * A
+    clean = np.fft.ifft(spec, axis=0) * np.sqrt(T)
+    return _add_noise_and_impair(clean, snr_db, rng)

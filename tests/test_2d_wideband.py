@@ -106,18 +106,27 @@ def test_config5_preset_end_to_end():
         snapshot_size=512,
         wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1))
     truth = [(-20.0, 30.0), (35.0, 60.0)]
-    x = synth_ura_iq(
+    # PHYSICAL wideband model: every FFT bin steered at its own
+    # effective spacing — the model the subband channelizer inverts.
+    from doa_tpu.io.synthetic import synth_wideband_ura_iq
+    x = synth_wideband_ura_iq(
         [SourceSpec(az_deg=truth[0][0], el_deg=truth[0][1], freq_norm=0.05,
                     bandwidth_norm=0.2),
          SourceSpec(az_deg=truth[1][0], el_deg=truth[1][1], freq_norm=0.25,
                     bandwidth_norm=0.2)],
-        (8, 8), 0.5, 16 * 512, snr_db=10, seed=2)
+        (8, 8), 0.5, 16 * 512, fractional_bw=cfg.wideband.fractional_bw,
+        snr_db=10, seed=2)
     res = build_pipeline_tpu(cfg)(x)
-    ang = np.asarray(res.peak_angles["music"])
-    med = np.median(ang, axis=0)  # (2, 2)
+    ang = np.asarray(res.peak_angles["music"])       # (B, k, 2)
+    # peak ORDER alternates between windows: pair-sort by azimuth
+    # before aggregating (plain mean over windows averages mismatched
+    # pairs into midpoint garbage)
+    order = np.argsort(ang[..., 0], axis=-1)
+    ang = np.take_along_axis(ang, order[..., None], 1)
+    med = np.median(ang, axis=0)  # (2, 2) sorted by az: [-20, 35]
     for k in range(2):
-        d = min(np.hypot(med[k, 0] - t[0], med[k, 1] - t[1]) for t in truth)
-        assert d < 6.0, med
+        d = np.hypot(med[k, 0] - truth[k][0], med[k, 1] - truth[k][1])
+        assert d < 2.0, med
 
 
 def test_pipeline_complex_path_ura_peaks_in_degrees():

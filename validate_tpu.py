@@ -12,8 +12,7 @@ import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from doa_tpu import PRESETS
-from doa_tpu.io.synthetic import (SourceSpec, synth_ula_iq, synth_ura_iq,
-                                  synth_wideband_ula_iq)
+from doa_tpu.io.synthetic import SourceSpec, synth_ula_iq, synth_ura_iq
 from doa_tpu.pipeline_tpu import build_pipeline_tpu
 
 def log(m): print(m, flush=True)
@@ -48,11 +47,17 @@ r = build_pipeline_tpu(cfg)(x)
 log(f"c4 music: {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [80 100]")
 
 cfg = PRESETS["c5_ura64_wideband"]
-x = synth_ura_iq([SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.05,
-                             bandwidth_norm=0.2),
-                  SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.25,
-                             bandwidth_norm=0.2)],
-                 cfg.geometry.shape, 0.5, 32 * 1024, snr_db=10,
-                 seed=5).astype(np.complex64)
+from doa_tpu.io.synthetic import synth_wideband_ura_iq
+x = synth_wideband_ura_iq(
+    [SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.05,
+                bandwidth_norm=0.2),
+     SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.25,
+                bandwidth_norm=0.2)],
+    cfg.geometry.shape, 0.5, 32 * 1024,
+    fractional_bw=cfg.wideband.fractional_bw, snr_db=10,
+    seed=5)
 r = build_pipeline_tpu(cfg)(x)
-log(f"c5 music az/el: {np.asarray(r.peak_angles['music']).mean(0)} truth [(-20,30),(35,60)]")
+ang = np.asarray(r.peak_angles["music"])          # (B, k, 2) az/el
+order = np.argsort(ang[..., 0], axis=-1)          # pair-sort by az per
+ang = np.take_along_axis(ang, order[..., None], 1)  # window before mean
+log(f"c5 music az/el: {ang.mean(0)} truth [(-20,30),(35,60)]")
