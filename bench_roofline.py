@@ -103,15 +103,23 @@ def main():
     cov_flops = (2 * T * n2 * n2) / GB
     measure("covariance", cov, (xr, xi), cov_bytes, cov_flops)
 
-    # ---- stage: subspace iteration -----------------------------------
+    # ---- stage: subspace iteration (both production schedules) -------
     R = jax.block_until_ready(
         cpx_ops.cov_from_stream_cpx(Cpx(xr, xi), SNAP, 0))
     sub = jax.jit(f32_matmuls(lambda rr, ri: cpx_ops.signal_subspace_embedded(
-        Cpx(rr, ri), K, iters=16)))
-    it_total = 16 + 9  # 16 E@V + ~9 orthonormalize passes reading V only
-    sub_bytes = (B * n2 * n2 * 4 * (16 + 1) + B * n2 * k2 * 4 * it_total) / GB
-    sub_flops = (16 * 2 * B * n2 * n2 * k2) / GB
-    measure("subspace_power16", sub, (R.re, R.im), sub_bytes, sub_flops)
+        Cpx(rr, ri), K, iters=8, squarings=0)))
+    it_total = 8 + 9   # 8 E@V applies + ~9 orthonormalize passes over V
+    sub_bytes = (B * n2 * n2 * 4 * (8 + 1) + B * n2 * k2 * 4 * it_total) / GB
+    sub_flops = (8 * 2 * B * n2 * n2 * k2) / GB
+    measure("subspace_e1_8 (default)", sub, (R.re, R.im), sub_bytes,
+            sub_flops)
+    sub4 = jax.jit(f32_matmuls(
+        lambda rr, ri: cpx_ops.signal_subspace_embedded(
+            Cpx(rr, ri), K, iters=8, squarings=2)))
+    sub4_bytes = (B * n2 * n2 * 4 * 7 + B * n2 * k2 * 4 * 8) / GB
+    sub4_flops = ((2 * 2 * B * n2 ** 3) + 2 * 2 * B * n2 * n2 * k2) / GB
+    measure("subspace_e4_8 (bench)", sub4, (R.re, R.im), sub4_bytes,
+            sub4_flops)
 
     V_emb = jax.block_until_ready(sub(R.re, R.im))
 

@@ -39,6 +39,10 @@ def _add_common(p):
                    help="enable the power-iteration guard "
                         "(residual/orthonormality/capture-gap + eigh "
                         "fallback)")
+    p.add_argument("--power-schedule", default=None,
+                   choices=["e1", "e2", "e4"],
+                   help="power-iteration squaring schedule: speed vs "
+                        "source-imbalance robustness (configs.DoaConfig)")
 
 
 def _config(args):
@@ -59,6 +63,9 @@ def _config(args):
         cfg = dataclasses.replace(cfg, subspace_method=args.subspace)
     if getattr(args, "subspace_check", False):
         cfg = dataclasses.replace(cfg, subspace_check=True)
+    if getattr(args, "power_schedule", None):
+        cfg = dataclasses.replace(cfg,
+                                  power_schedule=args.power_schedule)
     return cfg
 
 

@@ -103,14 +103,34 @@ class SmoothingSpec:
 
 @dataclasses.dataclass(frozen=True)
 class WidebandSpec:
-    """Per-subband FFT channelizer + incoherent spectrum fusion
-    (BASELINE config 5). Disabled when num_subbands <= 1."""
+    """Per-subband FFT channelizer + spectrum/covariance fusion
+    (BASELINE config 5). Disabled when num_subbands <= 1.
+
+    `fusion` selects how subbands combine:
+      * "incoherent": per-subband MUSIC spectra, mean of max-normalized
+        spectra (robust, spectrum-level — MUSIC only).
+      * "cssm": Coherent Signal-subspace Method — unitary RSS focusing
+        matrices T_f (Hung & Kaveh) rotate each subband covariance onto
+        the reference-frequency array manifold, R_coh = mean_f T_f R_f
+        T_fᴴ, then the FULL narrowband estimator suite runs on R_coh
+        (Capon, root-MUSIC, ESPRIT — grid-free wideband — plus FB
+        averaging/smoothing, which the spectrum-level fusion cannot
+        compose with). Gains over incoherent fusion at low SNR (noise
+        averages coherently across the band) and for correlated
+        broadband sources.
+    """
 
     num_subbands: int = 1
     center_norm_freq: float = 0.0  # normalized center frequency of the band
     # samp_rate / carrier_freq: how much the electrical array spacing
     # stretches across the band (0 → all subbands share one steering grid).
     fractional_bw: float = 0.0
+    fusion: str = "incoherent"
+    # Focusing directions for fusion="cssm": J angles uniform over the
+    # scan grid (config-static; 0 → auto = 2 per array element — full-
+    # rank, estimate-free focusing; see ops.wideband.focusing_directions
+    # for the measured J sweep).
+    num_focus_angles: int = 0
 
     @property
     def enabled(self) -> bool:
@@ -138,7 +158,23 @@ class DoaConfig:
     # (MXU-native, the fast path); "eigh" = full eigendecomposition
     # (exact; LAPACK-style, slower on TPU for large batches).
     subspace_method: str = "power"
-    power_iters: int = 16             # subspace-iteration count for "power"
+    power_iters: int = 8              # EFFECTIVE iteration count for "power"
+    # Power-iteration schedule: how many repeated-squaring passes build
+    # the per-round apply matrix E^(2^s). A measured ROBUSTNESS dial
+    # (ops.cpx_ops.signal_subspace_from_E_T): between orthonormalizations
+    # the basis conditioning grows as spread^(2^s) (spread = signal-
+    # eigenvalue ratio ≈ source power ratio) and the orthonormalizer
+    # handles conditioning ≈ spread^(2^(s+1)) ≤ ~500, so
+    #   "e1" — DEFAULT: safe to ~10 dB source power imbalance (spread
+    #          ~20); matches exact eigh on every preset scenario;
+    #   "e2" — ~1.6× faster subspace stage, equal-power workloads
+    #          (spread ≲ 5);
+    #   "e4" — fastest (2.2× vs e1), strictly equal-power (spread ≲ 2);
+    #          the bench's explicitly-chosen mode.
+    # Beyond the envelope enable subspace_check (per-window eigh repair)
+    # or subspace_method="eigh". Measured: docs/ACCURACY.md imbalance
+    # table; regression: tests/test_power_subspace.py.
+    power_schedule: str = "e1"
     # Power-iteration hardening: compute the per-window invariance
     # residual of the iterated subspace and fall back to exact eigh for
     # windows above subspace_tol (lax.cond — the converged common case
@@ -202,11 +238,26 @@ class DoaConfig:
         if self.cov_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")
+        if self.power_schedule not in ("e1", "e2", "e4"):
+            raise ValueError(
+                f"power_schedule {self.power_schedule!r} not one of "
+                "'e1' | 'e2' | 'e4'")
+        if self.wideband.fusion not in ("incoherent", "cssm"):
+            raise ValueError(
+                f"wideband.fusion {self.wideband.fusion!r} not "
+                "'incoherent' | 'cssm'")
+        if self.wideband.num_focus_angles < 0:
+            raise ValueError("wideband.num_focus_angles must be >= 0")
         # NOTE: irregular overlap (hop not dividing snapshot_size) is
         # legal on every path: the TPU paths frame it with
         # gcd(S, hop)-granularity chunk Grams + strided prefix sums
         # (exact; less MXU-efficient for tiny gcds), the complex/CPU
         # path frames it explicitly.
+
+    @property
+    def power_squarings(self) -> int:
+        """Squaring passes for the power schedule (e1→0, e2→1, e4→2)."""
+        return {"e1": 0, "e2": 1, "e4": 2}[self.power_schedule]
 
     @property
     def hop(self) -> int:

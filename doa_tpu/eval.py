@@ -66,11 +66,18 @@ def _match_errors(est: np.ndarray, truth: np.ndarray,
 def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
                  snrs_db: Sequence[float], trials: int = 4,
                  windows_per_trial: int = 8,
-                 seed: int = 0) -> List[EvalResult]:
-    """Monte-Carlo sweep. Returns one EvalResult per (SNR, estimator)."""
+                 seed: int = 0,
+                 amplitudes: Optional[Sequence[float]] = None
+                 ) -> List[EvalResult]:
+    """Monte-Carlo sweep. Returns one EvalResult per (SNR, estimator).
+
+    `amplitudes` (per-source linear amplitudes, default all-1) exercises
+    source POWER IMBALANCE — the regime that sets the power-iteration
+    schedule envelope (configs.DoaConfig.power_schedule)."""
     pipe = build_pipeline_tpu(cfg)
     truth = np.asarray(truth_deg, float)
     K = len(truth)
+    amps = ([1.0] * K if amplitudes is None else list(amplitudes))
     T = windows_per_trial * cfg.snapshot_size
     results = []
     for snr in snrs_db:
@@ -78,7 +85,8 @@ def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
         res_count: Dict[str, List[np.ndarray]] = {}
         nwin = 0
         for tr in range(trials):
-            srcs = [SourceSpec(theta_deg=t, freq_norm=0.05 + 0.09 * i)
+            srcs = [SourceSpec(theta_deg=t, freq_norm=0.05 + 0.09 * i,
+                               amplitude=amps[i])
                     for i, t in enumerate(truth)]
             x = synth_ula_iq(srcs, cfg.geometry.num_elements,
                              cfg.geometry.norm_spacing, T, snr_db=snr,

@@ -177,8 +177,8 @@ def noise_projector_cpx(R: Cpx, num_sources: int) -> Cpx:
     return unembed_hermitian(P)
 
 
-def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 16,
-                             ns_iters: int = 12):
+def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 8,
+                             ns_iters: int = 12, squarings: int = 0):
     """Orthonormal basis of the embedded SIGNAL subspace via subspace
     (power) iteration: (B, 2N, 2K) f32.
 
@@ -187,40 +187,56 @@ def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 16,
     workload's bottleneck (measured 70+ ms per 1024-snapshot batch on a
     v5e vs ~2 ms for this). Pure batched-matmul subspace iteration:
 
-        V ← orthonormalize(E(R) @ V),   V₀ = first 2K columns of E(R)
+        V ← orthonormalize(E^(2^squarings) @ V),  V₀ = leading columns
 
     with Newton-Schulz orthonormalization (coupled iteration for G^{-1/2},
     no Cholesky/QR — everything stays on the MXU). Convergence is
     (λ_{K+1}/λ_K)^iters: covariance averaging over S≥256 snapshots puts
-    signal eigenvalues well above noise even at 0 dB SNR, so 16 iterations
-    reach f32 projector accuracy; raise `iters` for threshold-SNR work.
+    signal eigenvalues well above noise even at 0 dB SNR, so 8 effective
+    iterations reach projector accuracy beyond the estimators' noise
+    floor; raise `iters` for threshold-SNR work. See
+    signal_subspace_from_E_T for the `squarings` robustness envelope.
     """
     return signal_subspace_from_E(embed_hermitian(R), num_sources,
-                                  iters=iters, ns_iters=ns_iters)
+                                  iters=iters, ns_iters=ns_iters,
+                                  squarings=squarings)
 
 
-def signal_subspace_from_E(E, num_sources: int, iters: int = 16,
-                           ns_iters: int = 12):
+def signal_subspace_from_E(E, num_sources: int, iters: int = 8,
+                           ns_iters: int = 12, squarings: int = 0):
     """As signal_subspace_embedded but from pre-embedded E: f32[B,2N,2N]
     (e.g. the fused covariance kernel's output)."""
     return jnp.swapaxes(
         signal_subspace_from_E_T(E, num_sources, iters=iters,
-                                 ns_iters=ns_iters), -1, -2)
+                                 ns_iters=ns_iters, squarings=squarings),
+        -1, -2)
 
 
-def signal_subspace_from_E_T(E, num_sources: int, iters: int = 16,
-                             ns_iters: int = 12, ns_iters_mid: int = 8):
+def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
+                             ns_iters: int = 12, ns_iters_mid: int = 8,
+                             squarings: int = 0, pack: int = 4):
     """Embedded signal subspace in TRANSPOSED layout: Vt f32[B, 2K, 2N]
     with Vt·Vtᵀ = I — the production fast form. Two TPU-shaping facts:
 
-    * **E⁴ squaring.** E2 = E·E, E4 = E2·E2 (two batched full-width
-      matmul passes), then `rounds = iters//4` rounds of
-      Vt ← orth(Vt·E4) — 4 effective power iterations per HBM pass over
-      the big tensor instead of 1 (the classic orth-every-2 schedule
-      re-read E 16×; measured 14.2 → 9.7 ms at B=16384, N=16). The
-      between-orth amplification is ratio⁴ — the same convergence
-      envelope as the Pallas VMEM kernel (ops/pallas/subspace.py);
-      wider spreads are the subspace guard's job.
+    * **Repeated squaring, schedule-selectable.** `squarings` batched
+      full-width squaring passes build Ep = E^(2^squarings); each round
+      then applies Ep once and re-orthonormalizes — 2^squarings
+      effective power iterations per cheap (B, 2K, 2N)·(B, 2N, 2N)
+      apply. The squaring exponent is a measured ROBUSTNESS dial, not
+      just a speed one: between orthonormalizations the basis condition
+      number grows like spread^(2^squarings) (spread = signal-eigenvalue
+      ratio λ₁/λ_K) and the NS Gram SQUARES it, so the envelope where
+      no signal direction drowns below matmul precision is
+        squarings=2 (E⁴): spread ≲ 6   — fastest per eff. iteration
+        squarings=1 (E²): spread ≲ 30  — the production default: covers
+                          source power imbalances to ~30 dB (measured:
+                          E⁴ silently LOSES a −10 dB source; E² holds
+                          to −30 dB, and is faster at matched effective
+                          iteration counts — 12.4 vs 13.6 ms at
+                          B=16384, exp r2: planted-spectrum sweep)
+        squarings=0 (E¹): spread ≲ 10³ — the guard-free fallback.
+      Beyond the envelope the subspace guard (guarded_signal_subspace)
+      catches and eigh-repairs affected windows.
     * **Transposed V.** Iterating Vt (minor dim 2N) instead of V (minor
       dim 2K) keeps every intermediate 4×-padded rather than 32×-padded
       ((B, 2N, 2K) tiles pad the 2K minor to 128 lanes), and
@@ -245,7 +261,7 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 16,
     (bf16×3) — single-pass-bf16 Grams make the iteration converge to
     wrong subspaces on structured signals (docs/PERF.md)."""
     K2 = 2 * num_sources
-    PACK = 4
+    PACK = pack
 
     def mm(a, b):
         return jnp.einsum("bij,bjk->bik", a, b,
@@ -287,16 +303,17 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 16,
     # trace-normalize so powering can't overflow f32
     tr = jnp.einsum("bii->b", E)[:, None, None] / n2
     Ep = E / jnp.maximum(tr, 1e-30)
-    Ep = mm(Ep, Ep)
-    Ep = mm(Ep, Ep)                              # E⁴, spectrum ≤ O(1)
+    for _ in range(squarings):
+        Ep = mm(Ep, Ep)                          # E^(2^sq), spectrum O(1)
     if Bp != B:
         # identity-E padding: its Vt rows are rows of I (orthonormal),
         # so the NS chain is a no-op on pad windows; sliced off at end
         Ep = jnp.concatenate(
             [Ep, jnp.broadcast_to(jnp.eye(n2, dtype=Ep.dtype),
                                   (Bp - B, n2, n2))], axis=0)
-    rounds = max(1, iters // 4)
-    Vt = orthonormalize(Ep[..., :K2, :], ns_iters)   # rows: E⁴ sym
+    apply = 1 << squarings
+    rounds = max(1, iters // apply)
+    Vt = orthonormalize(Ep[..., :K2, :], ns_iters)   # rows: Ep sym
     for r in range(rounds - 1):
         Vt = orthonormalize(
             jnp.einsum("bkn,bnm->bkm", Vt, Ep,

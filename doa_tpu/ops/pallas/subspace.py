@@ -9,17 +9,17 @@ reads E ONCE per window and runs the entire iteration in VMEM:
 * **Powering by block-diagonal squaring.** Per group of `gw = 128//2N`
   windows, the (2N, 2N) blocks are packed into one (128, 128)
   block-diagonal matrix; block-diagonal structure is closed under
-  multiplication, so TWO squarings yield E⁴ for every window in the
-  group at full-tile MXU shapes (the wasted off-diagonal flops, gw×, are
-  far cheaper than gw separate 2N-wide matmuls, which underfill the MXU
-  lane grid the same way but also pay per-op latency).
+  multiplication, so `squarings` squaring passes yield E^(2^s) for
+  every window in the group at full-tile MXU shapes (the wasted
+  off-diagonal flops, gw×, are far cheaper than gw separate 2N-wide
+  matmuls, which underfill the MXU lane grid the same way but also pay
+  per-op latency).
 
-* **V iteration:** V₀ = first 2K columns of E⁴ (= 4 classic power
-  iterations), then `rounds = iters//4` rounds of V ← orth(E⁴ V) — the
-  same (ratio)⁴ conditioning between orthonormalizations as the XLA
-  path's orth-every-2-with-E¹ schedule squared; safe for signal
-  eigenvalue spreads up to ~10³ in f32 (the subspace hardening check in
-  ops.subspace catches pathological spreads and falls back).
+* **V iteration:** V₀ = first 2K columns of E^(2^s), then
+  `rounds = iters // 2^s` rounds of V ← orth(E^(2^s) V). The squaring
+  count is the same speed-vs-imbalance-robustness dial as the XLA
+  path's (cpx_ops.signal_subspace_from_E_T: e4 ≲ spread 2, e2 ≲ 5,
+  e1 ≲ 20; the subspace guard catches spreads beyond the schedule).
 
 * **Consolidated Newton-Schulz.** The per-window (2K, 2K) Gram matrices
   of ALL W windows in a program form one (W·2K, W·2K) block-diagonal
@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, d_ref, out_ref, *,
                      W: int, n2: int, k2: int, gw: int, rounds: int,
-                     ns_iters: int, ns_iters_mid: int):
+                     ns_iters: int, ns_iters_mid: int, squarings: int):
     # The NS chain is the kernel's cost currency (dependent 128-class
     # matmuls). Two reductions vs the r1 schedule:
     #   * Jacobi preconditioning: G̃ = D^{-1/2} G D^{-1/2} (D = diag G).
@@ -112,11 +112,11 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, d_ref, out_ref, *,
                 jnp.zeros((1, n2), f32)
                 + 1.0 / jnp.maximum(tr_i, 1e-30))
         blk = blk * jnp.concatenate(scale_cols, axis=1)
-        b2 = dot(blk, blk)
-        b4 = dot(b2, b2)
-        b4 = 0.5 * (b4 + b4.T)
-        E4s.append(b4)
-        Vs_g.append(dot(b4, sel_ref[...]))           # (bd, gw·k2)
+        for _ in range(squarings):                   # E^(2^sq) per window
+            blk = dot(blk, blk)
+            blk = 0.5 * (blk + blk.T)
+        E4s.append(blk)
+        Vs_g.append(dot(blk, sel_ref[...]))          # (bd, gw·k2)
 
     # --- rounds of consolidated orthonormalize (+ E⁴ apply) -----------
     eye = eye_ref[...]                               # (wk, wk)
@@ -173,24 +173,27 @@ def _subspace_kernel(e_ref, sel_ref, rep_ref, eye_ref, d_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_sources", "iters", "ns_iters", "ns_iters_mid",
-    "groups_per_block", "interpret"))
-def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
+    "groups_per_block", "interpret", "squarings"))
+def subspace_packed_pallas(E, num_sources: int, iters: int = 8,
                            ns_iters: int = 12, ns_iters_mid: int = 8,
                            groups_per_block: int = 0,
-                           interpret: bool = False):
+                           interpret: bool = False, squarings: int = 2):
     """E: f32[B, 2N, 2N] embedded covariances → packed orthonormal signal
     subspace f32[ceil(B/W)·W·2K, 2N] (rows = (window, k); reshape to
     (nb, W·2K, 2N) with W = packing_width(2N) feeds
     ops.pallas.music_scan directly; see `packed_to_batched` for the
-    (B, 2N, 2K) view). Effective power-iteration count is rounds·4 with
-    rounds = max(1, iters//4)."""
+    (B, 2N, 2K) view). Effective power-iteration count is
+    rounds·2^squarings with rounds = max(1, iters // 2^squarings);
+    `squarings` sets the robustness envelope exactly as in
+    cpx_ops.signal_subspace_from_E_T (the in-kernel squaring runs on the
+    gw-window block-diagonal)."""
     B, n2, _ = E.shape
     k2 = 2 * num_sources
     gw = max(1, 128 // n2)
     if groups_per_block == 0:
         groups_per_block = _auto_gpb(n2, k2)
     W = gw * groups_per_block
-    rounds = max(1, iters // 4)
+    rounds = max(1, iters // (1 << squarings))
 
     Bp = ((B + W - 1) // W) * W
     if Bp != B:
@@ -214,7 +217,7 @@ def subspace_packed_pallas(E, num_sources: int, iters: int = 16,
     out = pl.pallas_call(
         functools.partial(_subspace_kernel, W=W, n2=n2, k2=k2, gw=gw,
                           rounds=rounds, ns_iters=ns_iters,
-                          ns_iters_mid=ns_iters_mid),
+                          ns_iters_mid=ns_iters_mid, squarings=squarings),
         grid=(Bp // W,),
         in_specs=[
             pl.BlockSpec((W, n2, n2), lambda i: (i, 0, 0),

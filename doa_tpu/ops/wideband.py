@@ -96,7 +96,8 @@ def subband_subspaces(R: Cpx, cfg: DoaConfig):
     """Per-subband embedded signal subspaces f32[F, B, 2N, 2K]
     (power path)."""
     return jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
-        r, cfg.num_sources, iters=cfg.power_iters))(R)
+        r, cfg.num_sources, iters=cfg.power_iters,
+        squarings=cfg.power_squarings))(R)
 
 
 def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
@@ -129,6 +130,93 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
     fused spectrum f32[B, G] (mean of max-normalized subband spectra)."""
     P_sub, _ = _subband_spectra(x, A_stack, W, cfg)
     return jnp.mean(P_sub, axis=0)                  # incoherent fusion
+
+
+# ---------------------------------------------------------------------
+# Coherent fusion: CSSM with unitary RSS focusing (Hung & Kaveh).
+# The focusing matrices are CONFIG-STATIC (like steering grids): built
+# once per pipeline on the host, passed to jit as device constants. The
+# per-window focused sum runs on device as batched complex matmuls.
+# ---------------------------------------------------------------------
+
+def focusing_directions(cfg: DoaConfig):
+    """J focusing directions spanning the scan field of view.
+
+    CSSM classically focuses at preliminary DoA estimates; the
+    estimate-free variant focuses at a fixed direction set covering the
+    FOV — with J ≥ N directions the cross-manifold product is full rank
+    and the unitary Procrustes solution aligns the WHOLE visible
+    manifold, not just a sector (tested to fractional bandwidth 0.4 in
+    tests/test_cssm.py). Default J = 2N: measured on the 16-el/fbw-0.4
+    scenario, J = N under-samples the manifold (worst subband's grid
+    misalignment grows 1.15× after focusing) while J = 2N reduces every
+    subband's ≥ 2.1× with no further gain at 4N/8N. Interior sampling
+    avoids the degenerate endfire/horizon edges.
+
+    → theta_deg (J,) for ULA; (az_deg, el_deg) each (J,) for URA."""
+    J = cfg.wideband.num_focus_angles or 2 * cfg.geometry.num_elements
+    if cfg.geometry.kind == "ula":
+        return np.linspace(cfg.grid.lo_deg, cfg.grid.hi_deg,
+                           J + 2)[1:-1].astype(np.float64)
+    g2 = cfg.grid2d
+    ja = int(np.ceil(np.sqrt(J)))
+    az = np.linspace(g2.az_lo_deg, g2.az_hi_deg, ja + 2)[1:-1]
+    el = np.linspace(g2.el_lo_deg, g2.el_hi_deg, ja + 2)[1:-1]
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    return azg.ravel(), elg.ravel()
+
+
+def _focus_steering(cfg: DoaConfig, spacing: float) -> np.ndarray:
+    """(N, J) complex128 steering columns at the focusing directions for
+    the FULL array (focusing precedes spatial smoothing) at a given
+    effective spacing."""
+    dirs = focusing_directions(cfg)
+    N = cfg.geometry.num_elements
+    if cfg.geometry.kind == "ula":
+        theta = np.deg2rad(np.asarray(dirs))
+        k = np.arange(N)
+        A = np.exp(-2j * np.pi * spacing * np.cos(theta)[:, None] * k)
+        return A.T                                   # (N, J)
+    az, el = dirs
+    az = np.deg2rad(az)
+    el = np.deg2rad(el)
+    ux = np.cos(el) * np.sin(az)
+    uy = np.cos(el) * np.cos(az)
+    nx, ny = cfg.geometry.shape
+    ix = np.arange(nx)[:, None]
+    iy = np.arange(ny)[None, :]
+    phase = -2 * np.pi * spacing * (ux[:, None, None] * ix
+                                    + uy[:, None, None] * iy)
+    return np.exp(1j * phase).reshape(len(ux), nx * ny).T
+
+
+def focusing_matrices(cfg: DoaConfig) -> np.ndarray:
+    """Unitary RSS focusing matrices T: complex64[F, N, N].
+
+    Per subband f (effective spacing d_f): T_f is the unitary Procrustes
+    solution min_T ‖B₀ − T B_f‖_F over unitary T, with B_f = (N, J)
+    steering columns at the focusing directions — T_f = U Vᴴ from the
+    SVD  B₀ B_fᴴ = U Σ Vᴴ. Unitarity keeps focused noise white (σ²I →
+    σ²I), so the focused covariance feeds any narrowband subspace
+    estimator unchanged."""
+    B0 = _focus_steering(cfg, cfg.geometry.norm_spacing)
+    mats = []
+    for d in subband_spacings(cfg):
+        Bf = _focus_steering(cfg, float(d))
+        M = B0 @ Bf.conj().T                         # (N, N)
+        U, _, Vh = np.linalg.svd(M)
+        mats.append(U @ Vh)
+    return np.stack(mats, axis=0).astype(np.complex64)
+
+
+def cssm_covariance_cpx(x: Cpx, W: Cpx, T_foc: Cpx,
+                        cfg: DoaConfig) -> Cpx:
+    """x: Cpx[T, N], W: DFT Cpx[F, F], T_foc: Cpx[F, N, N] →
+    focused coherent covariance Cpx[B, N, N] = mean_f T_f R_f T_fᴴ."""
+    R_sub = subband_covariances(x, W, cfg)           # (F, B, N, N)
+    TR = cpx_ops_einsum("fnm,fbmk->fbnk", T_foc, R_sub)
+    R_foc = cpx_ops_einsum("fbnk,fmk->fbnm", TR, T_foc.conj())
+    return Cpx(jnp.mean(R_foc.re, axis=0), jnp.mean(R_foc.im, axis=0))
 
 
 def subband_spacings(cfg: DoaConfig) -> np.ndarray:

@@ -180,7 +180,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
         if use_power and (Estimator.MUSIC in cfg.estimators
                           or Estimator.ROOT_MUSIC in cfg.estimators):
             V_emb = cpx_ops.signal_subspace_embedded(
-                R, cfg.num_sources, iters=cfg.power_iters)
+                R, cfg.num_sources, iters=cfg.power_iters,
+                squarings=cfg.power_squarings)
         out = {}
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
@@ -294,7 +295,16 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
 
 def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
                             refine_peaks: bool = True):
-    """EP-sharded wideband MUSIC (see build_sharded_pipeline)."""
+    """EP-sharded wideband (see build_sharded_pipeline).
+
+    fusion="cssm" reuses the mesh's second axis TWICE: as the EP axis
+    for the per-subband focused covariances (one psum fuses them into
+    R_coh, replicated over the axis), then as the TP axis for the
+    narrowband scan of R_coh (grid-sharded steering + O(k) local-peak
+    merge) — the coherent fusion point is a single N×N psum, after
+    which the axis would otherwise idle."""
+    if cfg.wideband.fusion == "cssm":
+        return _build_sharded_cssm(cfg, mesh, refine_peaks)
     from doa_tpu.ops.wideband import (
         dft_matrix, wideband_steering_stack)
     from doa_tpu.pipeline import _steering_fn
@@ -346,7 +356,8 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         A_loc = Cpx(Asr, Asi)                           # (F_loc, G, N)
         if cfg.subspace_method == "power":
             V = jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
-                r, cfg.num_sources, iters=cfg.power_iters))(R)
+                r, cfg.num_sources, iters=cfg.power_iters,
+                squarings=cfg.power_squarings))(R)
 
             def spec_one(v, Af):
                 den = jnp.maximum(
@@ -418,6 +429,147 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
             cr = jnp.asarray(c.real.astype(np.float32))
             ci = jnp.asarray(c.imag.astype(np.float32))
         return jitted(xr, xi, cr, ci, Wr_d, Wi_d, Asr_d, Asi_d)
+
+    call.jitted = jitted
+    call.mesh = mesh
+    return call
+
+
+def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
+                        refine_peaks: bool = True):
+    """EP→TP coherent wideband: subband-sharded focused covariances,
+    psum-fused R_coh, grid-sharded narrowband MUSIC scan."""
+    from doa_tpu.ops.wideband import dft_matrix, focusing_matrices
+
+    A_host, x_rng = _steering_matrix(cfg)
+    F = cfg.wideband.num_subbands
+    S = cfg.snapshot_size
+    if S % F:
+        raise ValueError("snapshot_size must be divisible by subbands")
+    S_sub = S // F
+    hop_sub = max(S_sub - cfg.overlap // F, 1)
+    n_ep = mesh.shape[GRID_AXIS]
+    if F % n_ep:
+        raise ValueError(f"subbands {F} not divisible by EP axis {n_ep}")
+    F_loc = F // n_ep
+    G = A_host.shape[0]
+    if G % n_ep:
+        raise ValueError(f"grid size {G} not divisible by TP axis {n_ep}")
+    is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+    fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
+    W_host = dft_matrix(F)
+    T_host = focusing_matrices(cfg)                 # (F, N, N)
+
+    def shard_fn(xr, xi, cr, ci, Wr, Wi, Tr, Ti, Ar, Ai):
+        from doa_tpu.ops.wideband import channelize_cpx
+        from doa_tpu.cpx import einsum as cpx_einsum
+
+        ep = jax.lax.axis_index(GRID_AXIS)
+        xs = channelize_cpx(Cpx(xr, xi), Cpx(Wr, Wi))   # (F, M_loc, N)
+        xs = Cpx(jax.lax.dynamic_slice_in_dim(xs.re, ep * F_loc, F_loc),
+                 jax.lax.dynamic_slice_in_dim(xs.im, ep * F_loc, F_loc))
+
+        def cov_one(sub):
+            return cpx_ops.cov_from_stream_cpx(
+                sub, S_sub, S_sub - hop_sub, fb_average=False)
+
+        R = jax.vmap(cov_one)(xs)                       # (F_loc, B, N, N)
+        R = cpx_ops.apply_correction_to_cov(R, Cpx(cr, ci))
+        Tf = Cpx(Tr, Ti)                                # (F_loc, N, N)
+        TR = cpx_einsum("fnm,fbmk->fbnk", Tf, R)
+        Rfoc = cpx_einsum("fbnk,fmk->fbnm", TR, Tf.conj())
+        # EP fusion: ONE psum of the local focused sum → R_coh.
+        R = Cpx(jax.lax.psum(jnp.sum(Rfoc.re, axis=0), GRID_AXIS) / F,
+                jax.lax.psum(jnp.sum(Rfoc.im, axis=0), GRID_AXIS) / F)
+        if fb:
+            R = cpx_ops.forward_backward_cpx(R)
+        if cfg.smoothing.enabled:
+            R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
+        # TP scan on the SAME axis: A is grid-sharded, R replicated.
+        A = Cpx(Ar, Ai)
+        if cfg.subspace_method == "power":
+            V = cpx_ops.signal_subspace_embedded(
+                R, cfg.num_sources, iters=cfg.power_iters,
+                squarings=cfg.power_squarings)
+            den = jnp.maximum(
+                cpx_ops.music_denominator_subspace(V, A), 0.0)
+        else:
+            Mp = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
+            den = cpx_ops.music_denominator_cpx(Mp, A)
+        P_loc = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        if is_2d:
+            P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
+                                        tiled=True)
+            P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
+            from doa_tpu.ops.peaks import find_local_max_2d
+
+            g2 = cfg.grid2d
+            P2 = P_full.reshape(P_full.shape[0], g2.num_az, g2.num_el)
+            v, az, el = find_local_max_2d(
+                P2, cfg.num_max_vals,
+                (g2.az_lo_deg, g2.az_hi_deg),
+                (g2.el_lo_deg, g2.el_hi_deg), refine=refine_peaks)
+            l = jnp.stack([az, el], axis=-1)
+            return {"spectrum_music": P_full, "peak_values_music": v,
+                    "peak_angles_music": l}
+        v, l, gmax = _local_peaks_merge_1d(
+            P_loc, cfg.num_max_vals, x_rng, refine_peaks)
+        return {"spectrum_music": P_loc / gmax, "peak_values_music": v,
+                "peak_angles_music": l}
+
+    out_specs = {
+        "spectrum_music": (P(SNAP_AXIS, None) if is_2d
+                           else P(SNAP_AXIS, GRID_AXIS)),
+        "peak_values_music": P(SNAP_AXIS, None),
+        "peak_angles_music": P(SNAP_AXIS, None)}
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
+                  P(), P(), P(GRID_AXIS, None, None),
+                  P(GRID_AXIS, None, None),
+                  P(GRID_AXIS, None), P(GRID_AXIS, None)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    jitted = jax.jit(f32_matmuls(mapped))
+
+    T_sh = NamedSharding(mesh, P(GRID_AXIS, None, None))
+    Tr_d = jax.device_put(
+        np.ascontiguousarray(T_host.real.astype(np.float32)), T_sh)
+    Ti_d = jax.device_put(
+        np.ascontiguousarray(T_host.imag.astype(np.float32)), T_sh)
+    A_sh = NamedSharding(mesh, P(GRID_AXIS, None))
+    Ar_d = jax.device_put(
+        np.ascontiguousarray(A_host.real.astype(np.float32)), A_sh)
+    Ai_d = jax.device_put(
+        np.ascontiguousarray(A_host.imag.astype(np.float32)), A_sh)
+    Wr_d = jax.device_put(W_host.real.astype(np.float32))
+    Wi_d = jax.device_put(W_host.imag.astype(np.float32))
+
+    def call(x, correction=None):
+        n_snap = mesh.shape[SNAP_AXIS]
+        if isinstance(x, Cpx):
+            xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
+        else:
+            from doa_tpu.io.native import split_c64
+            xr_h, xi_h = split_c64(np.asarray(x))
+        T = xr_h.shape[0]
+        if T % (n_snap * S):
+            raise ValueError(
+                f"T={T} must be divisible by n_snap*S={n_snap * S} on "
+                "the wideband EP path")
+        x_sh = NamedSharding(mesh, P(SNAP_AXIS, None))
+        xr = jax.device_put(xr_h, x_sh)
+        xi = jax.device_put(xi_h, x_sh)
+        N = xr_h.shape[1]
+        if correction is None:
+            cr = jnp.ones((N,), jnp.float32)
+            ci = jnp.zeros((N,), jnp.float32)
+        else:
+            c = np.asarray(correction)
+            cr = jnp.asarray(c.real.astype(np.float32))
+            ci = jnp.asarray(c.imag.astype(np.float32))
+        return jitted(xr, xi, cr, ci, Wr_d, Wi_d, Tr_d, Ti_d, Ar_d, Ai_d)
 
     call.jitted = jitted
     call.mesh = mesh

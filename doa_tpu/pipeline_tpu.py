@@ -89,20 +89,25 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     cov_impl, interp = _resolve_impl(cfg)
 
     wb = cfg.wideband.enabled
+    wb_cssm = wb and cfg.wideband.fusion == "cssm"
     if wb:
         from doa_tpu.ops.wideband import (
-            dft_matrix, wideband_steering_stack)
+            dft_matrix, focusing_matrices, wideband_steering_stack)
         W_host = dft_matrix(cfg.wideband.num_subbands)
-        A_stack_host = wideband_steering_stack(cfg, _steering_fn(cfg))
-        # Device-resident, passed as jit ARGUMENTS (closed-over device
-        # arrays would be constant-folded, which some backends can't fetch,
-        # and a 100+MB steering stack must not be baked into the HLO).
+        # CSSM needs the DFT + the (F, N, N) focusing matrices; the
+        # incoherent path needs the DFT + the (F, G, N) per-subband
+        # steering stack. Device-resident, passed as jit ARGUMENTS
+        # (closed-over device arrays would be constant-folded, which
+        # some backends can't fetch, and a 100+MB steering stack must
+        # not be baked into the HLO).
+        extra_host = (focusing_matrices(cfg) if wb_cssm
+                      else wideband_steering_stack(cfg, _steering_fn(cfg)))
         wb_args = tuple(
             jax.device_put(np.ascontiguousarray(p)) for p in (
                 W_host.real.astype(np.float32),
                 W_host.imag.astype(np.float32),
-                A_stack_host.real.astype(np.float32),
-                A_stack_host.imag.astype(np.float32)))
+                extra_host.real.astype(np.float32),
+                extra_host.imag.astype(np.float32)))
 
     def _peaks(P):
         """(values, angles): 1-D → angles (B, k); 2-D → (B, k, 2) az/el."""
@@ -149,7 +154,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             # Transposed-layout XLA iteration: Vt.reshape IS the packed
             # layout (leading-dim merges only — no relayout pass).
             Vt = cpx_ops.signal_subspace_from_E_T(
-                E_win, cfg.num_sources, iters=cfg.power_iters)
+                E_win, cfg.num_sources, iters=cfg.power_iters,
+                squarings=cfg.power_squarings)
             B = E_win.shape[0]
             Bp = ((B + W - 1) // W) * W
             Vp_flat = Vt.reshape(B * k2, n2)
@@ -162,7 +168,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         else:
             Vp_flat = subspace_packed_pallas(
                 E_win, cfg.num_sources, iters=cfg.power_iters,
-                interpret=interp)
+                squarings=cfg.power_squarings, interpret=interp)
         return Vp_flat.reshape(-1, W * k2, n2)
 
     def _estimate(R, E_win, Ar, Ai):
@@ -189,7 +195,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         cfg.num_sources)
             else:
                 V_emb = cpx_ops.signal_subspace_embedded(
-                    R, cfg.num_sources, iters=cfg.power_iters)
+                    R, cfg.num_sources, iters=cfg.power_iters,
+                    squarings=cfg.power_squarings)
             if cfg.subspace_check:
                 from doa_tpu.cpx import embed_hermitian
                 E_chk = (E_win if E_win is not None
@@ -360,6 +367,20 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         return R, E_win
 
     def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
+        if wb_cssm:
+            # Coherent fusion: focused covariance → the full narrowband
+            # estimator suite (incl. FB averaging, smoothing, Capon and
+            # the grid-free root-MUSIC/ESPRIT — wideband grid-free DoA).
+            from doa_tpu.ops.wideband import cssm_covariance_cpx
+            x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
+            Wr, Wi, Tr, Ti = wb_extra
+            R = cssm_covariance_cpx(x, Cpx(Wr, Wi), Cpx(Tr, Ti), cfg)
+            if cfg.avg_method == AvgMethod.FORWARD_BACKWARD:
+                R = cpx_ops.forward_backward_cpx(R)
+            if cfg.smoothing.enabled:
+                R = cpx_ops.spatial_smooth_cpx(
+                    R, cfg.smoothing.subarray_size)
+            return _estimate(R, None, Ar, Ai)
         if wb:
             from doa_tpu.ops.wideband import (
                 wideband_music_cpx, wideband_music_hierarchical_cpx)

@@ -138,3 +138,45 @@ def test_subspace_residual_small_when_converged():
                               subspace_check=True)
     res = build_pipeline_tpu(cfg)(x)
     assert np.asarray(res.subspace_residual).max() < 0.05
+
+
+def test_schedule_envelope_source_imbalance():
+    """The power-schedule robustness envelope (exp r2, session 2):
+    between orthonormalizations the basis conditioning grows as
+    spread^(2^squarings) and the NS Gram squares it, so E⁴ silently
+    LOSES a −10 dB source while E¹ holds it exactly. The default
+    schedule must find both sources of a 10 dB- and 20 dB-imbalanced
+    pair; e4 keeps its speed niche for equal-power scenarios."""
+    from doa_tpu.configs import ArrayGeometry, DoaConfig, GridSpec1D
+
+    def _run(cfg, imb_db, seed=0):
+        amp = 10 ** (-imb_db / 20)
+        x = synth_ula_iq(
+            [SourceSpec(theta_deg=60.0, freq_norm=0.1, amplitude=1.0),
+             SourceSpec(theta_deg=110.0, freq_norm=0.3, amplitude=amp)],
+            16, 0.5, 16 * 1024, snr_db=10, seed=seed)
+        res = build_pipeline_tpu(cfg)(x)
+        return np.sort(np.median(np.asarray(res.peak_angles["music"]),
+                                 axis=0))
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024), num_max_vals=2)
+    # default (e1) schedule: exact through 10 dB imbalance
+    for imb_db in (5.0, 10.0):
+        ang = _run(cfg, imb_db)
+        assert abs(ang[0] - 60.0) < 0.5, (imb_db, ang)
+        assert abs(ang[1] - 110.0) < 0.5, (imb_db, ang)
+    # beyond the schedule envelope: the guard's eigh repair takes over
+    cfg_g = dataclasses.replace(cfg, subspace_check=True)
+    ang = _run(cfg_g, 20.0)
+    assert abs(ang[0] - 60.0) < 0.5, ang
+    assert abs(ang[1] - 110.0) < 0.5, ang
+    # e4 (the bench's equal-power mode) documented failure: loses the
+    # −10 dB source — pins the envelope the docs claim
+    cfg_4 = dataclasses.replace(cfg, power_schedule="e4")
+    ang = _run(cfg_4, 10.0)
+    assert abs(ang[1] - 110.0) > 2.0, ang

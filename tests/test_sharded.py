@@ -167,3 +167,36 @@ def test_sharded_wideband_ep_parity(spec):
     np.testing.assert_allclose(
         np.sort(np.asarray(out["peak_angles_music"]), -1),
         np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=0.05)
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(4, 2), MeshSpec(2, 4)])
+def test_sharded_wideband_cssm_parity(spec):
+    """Coherent (CSSM) sharded wideband: EP-sharded focused covariances
+    psum-fused, then the SAME mesh axis reused for the TP grid scan —
+    must match the single-device CSSM pipeline."""
+    from doa_tpu.configs import WidebandSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=128),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1,
+                              fusion="cssm"),
+        num_max_vals=2)
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=117.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        8, 0.5, 16 * 1024, snr_db=12, seed=7, fractional_bw=0.1)
+    mesh = make_mesh(spec)
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    ref = build_pipeline_tpu(cfg)(x)
+    P_r = np.asarray(ref.spectra["music"])
+    P_s = np.asarray(out["spectrum_music"])
+    assert P_s.shape == P_r.shape
+    np.testing.assert_allclose(P_s, P_r, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["peak_angles_music"]), -1),
+        np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=0.05)
