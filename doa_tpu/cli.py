@@ -43,6 +43,11 @@ def _add_common(p):
                    choices=["e1", "e2", "e4"],
                    help="power-iteration squaring schedule: speed vs "
                         "source-imbalance robustness (configs.DoaConfig)")
+    p.add_argument("--wideband-fusion", default=None,
+                   choices=["incoherent", "cssm"],
+                   help="wideband subband fusion: incoherent spectrum "
+                        "mean or coherent CSSM focusing (grid-free "
+                        "wideband estimators)")
 
 
 def _config(args):
@@ -66,6 +71,9 @@ def _config(args):
     if getattr(args, "power_schedule", None):
         cfg = dataclasses.replace(cfg,
                                   power_schedule=args.power_schedule)
+    if getattr(args, "wideband_fusion", None):
+        cfg = dataclasses.replace(cfg, wideband=dataclasses.replace(
+            cfg.wideband, fusion=args.wideband_fusion))
     return cfg
 
 

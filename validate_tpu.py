@@ -46,6 +46,34 @@ x = synth_ula_iq([SourceSpec(theta_deg=80.0, freq_norm=0.11),
 r = build_pipeline_tpu(cfg)(x)
 log(f"c4 music: {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [80 100]")
 
+# bench configuration (e4@8 schedule, equal-power envelope) and the
+# imbalance envelope of the robust default — a real-signal accuracy pin
+# for the headline number and for the ACCURACY imbalance table on
+# hardware (tf32) arithmetic.
+import dataclasses
+from doa_tpu.configs import (
+    ArrayGeometry, DoaConfig, Estimator, GridSpec1D)
+bench_cfg = DoaConfig(
+    geometry=ArrayGeometry(kind="ula", num_elements=16, norm_spacing=0.5),
+    snapshot_size=1024, overlap=0, num_sources=2,
+    estimators=(Estimator.MUSIC,), grid=GridSpec1D(num_points=1024),
+    num_max_vals=2, scan_mode="pallas", cov_impl="pallas",
+    power_schedule="e4", power_iters=8)
+x = synth_ula_iq([SourceSpec(theta_deg=60.0, freq_norm=0.1),
+                  SourceSpec(theta_deg=110.0, freq_norm=0.27)], 16, 0.5,
+                 32 * 1024, snr_db=10, seed=6).astype(np.complex64)
+r = build_pipeline_tpu(bench_cfg)(x)
+log(f"bench cfg e4@8: {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [60 110]")
+
+imb_cfg = dataclasses.replace(bench_cfg, scan_mode="auto",
+                              cov_impl="auto", power_schedule="e1")
+x = synth_ula_iq([SourceSpec(theta_deg=60.0, freq_norm=0.1),
+                  SourceSpec(theta_deg=110.0, freq_norm=0.27,
+                             amplitude=10 ** (-10 / 20))], 16, 0.5,
+                 32 * 1024, snr_db=10, seed=7).astype(np.complex64)
+r = build_pipeline_tpu(imb_cfg)(x)
+log(f"default e1 @ 10dB imbalance: {np.sort(np.asarray(r.peak_angles['music']), -1).mean(0)} truth [60 110]")
+
 cfg = PRESETS["c5_ura64_wideband"]
 from doa_tpu.io.synthetic import synth_wideband_ura_iq
 x = synth_wideband_ura_iq(
