@@ -190,7 +190,7 @@ def _cov_kernel_uhat(z_ref, u_ref, *, N: int, hop: int, tp: int,
 def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
                         overlap: int = 0, fb: bool = False,
                         compute_dtype=jnp.float32,
-                        chunks_per_block: int = 8,
+                        chunks_per_block: int | None = None,
                         variant: str = "stacked",
                         interpret: bool = False):
     """xil: f32[T/TPACK, 2N·TPACK] interleaved rows; cr/ci: f32[N]
@@ -217,6 +217,15 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
     stride = hop // g
     hop = g          # kernel operates on gcd-granularity chunks
     cb = chunks_per_block
+    if cb is None:
+        # Bigger input blocks keep the DMA engines fed: cb=32 measured
+        # 5.41 ms vs 6.07 at cb=8 for the headline config — ~80% of
+        # this chip's MEASURED streaming bandwidth (~495 GB/s, which is
+        # the achievable roofline; see exp_covk.py / docs/PERF.md).
+        # Budget ~4 MB of VMEM for the input block (cb=64 failed to
+        # compile at the headline shape; 32 is the measured sweet spot).
+        per_chunk = max((g // tp) * width * 4, 1)
+        cb = max(1, min(32, (4 << 20) // per_chunk))
     while n % cb:
         cb //= 2
     cb = max(cb, 1)
