@@ -28,6 +28,9 @@ class Estimator(str, enum.Enum):
     CAPON = "capon"          # Capon-MVDR — required by BASELINE north-star.
     ROOT_MUSIC = "root_music"
     ESPRIT = "esprit"        # grid-free shift-invariance (beyond reference)
+    MIN_NORM = "min_norm"    # Kumaresan–Tufts (beyond reference): the
+    #                          noise subspace collapsed to ONE vector —
+    #                          O(B·G·N) scan + a well-separated root form
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,6 +21,7 @@ from doa_tpu.ops.covariance import (
 from doa_tpu.ops.subspace import noise_subspace, signal_subspace, eigh_batched
 from doa_tpu.ops.music import music_spectrum, noise_projector
 from doa_tpu.ops.capon import capon_spectrum
+from doa_tpu.ops.min_norm import min_norm_spectrum, root_min_norm
 from doa_tpu.ops.root_music import root_music
 from doa_tpu.ops.peaks import find_local_max
 
@@ -38,6 +39,8 @@ __all__ = [
     "signal_subspace",
     "eigh_batched",
     "music_spectrum",
+    "min_norm_spectrum",
+    "root_min_norm",
     "noise_projector",
     "capon_spectrum",
     "root_music",

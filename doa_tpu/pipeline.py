@@ -95,7 +95,10 @@ def _spectra_and_peaks(R, A, cfg: DoaConfig, x_rng, refine: bool):
             P = music_spectrum(R, A, cfg.num_sources)
         elif est == Estimator.CAPON:
             P = capon_spectrum(R, A, diag_load=cfg.capon_diag_load)
-        elif est == Estimator.ROOT_MUSIC:
+        elif est == Estimator.MIN_NORM:
+            from doa_tpu.ops.min_norm import min_norm_spectrum
+            P = min_norm_spectrum(R, A, cfg.num_sources)
+        elif est in (Estimator.ROOT_MUSIC, Estimator.ESPRIT):
             continue  # grid-free; handled separately
         else:  # pragma: no cover
             raise ValueError(est)
@@ -142,9 +145,26 @@ def build_pipeline(cfg: DoaConfig, refine_peaks: bool = True,
         if want_root:
             root_angles = root_music(
                 R, cfg.num_sources, cfg.geometry.norm_spacing)
+        esprit_angles = None
+        if Estimator.ESPRIT in cfg.estimators:
+            # Same grid-free path as pipeline_tpu (the split-complex ops
+            # are the single implementation — wrap R's planes).
+            from doa_tpu.cpx import Cpx
+            Rc = Cpx(jnp.real(R), jnp.imag(R))
+            if cfg.geometry.kind == "ula":
+                from doa_tpu.ops.esprit import esprit_cpx
+                esprit_angles = esprit_cpx(
+                    Rc, cfg.num_sources, cfg.geometry.norm_spacing)
+            else:
+                from doa_tpu.ops.esprit import esprit_2d_cpx
+                az, el = esprit_2d_cpx(
+                    Rc, cfg.num_sources, cfg.geometry.norm_spacing,
+                    cfg.geometry.shape)
+                esprit_angles = jnp.stack([az, el], axis=-1)
         return dict(
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
+            esprit_angles=esprit_angles,
             covariance=R if return_covariance else None,
         )
 

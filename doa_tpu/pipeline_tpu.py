@@ -178,15 +178,31 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         spectra, pvals, pangs = {}, {}, {}
         root_angles = None
         M = None
+
+        def _noise_M(M):
+            """Complex noise projector (eigh/jacobi path), computed once
+            and shared by every projector-based estimator."""
+            if M is not None:
+                return M
+            if cfg.subspace_method == "jacobi":
+                from doa_tpu.cpx import embed_hermitian, unembed_hermitian
+                from doa_tpu.ops.jacobi import subspace_projector_jacobi
+                N_eff = R.shape[-1]
+                P_emb = subspace_projector_jacobi(
+                    embed_hermitian(R), 2 * (N_eff - cfg.num_sources))
+                return unembed_hermitian(P_emb)
+            return cpx_ops.noise_projector_cpx(R, cfg.num_sources)
         V_emb = None
         Vp = None
         B_out = (E_win if R is None else R.re).shape[0]
         sub_res = None
+        want_mn = Estimator.MIN_NORM in cfg.estimators
         if (use_power
-                and (Estimator.MUSIC in cfg.estimators or want_root)):
+                and (Estimator.MUSIC in cfg.estimators or want_root
+                     or want_mn)):
             if E_win is not None:
                 Vp = _subspace_packed(E_win)
-                if (scan_mode != "pallas" or want_root
+                if (scan_mode != "pallas" or want_root or want_mn
                         or cfg.subspace_check):
                     from doa_tpu.ops.pallas.subspace import (
                         packed_to_batched)
@@ -277,23 +293,24 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         V_emb, A,
                         compute_dtype=jnp.dtype(cfg.compute_dtype))
                 else:
-                    if M is None:
-                        if cfg.subspace_method == "jacobi":
-                            from doa_tpu.cpx import (
-                                embed_hermitian, unembed_hermitian)
-                            from doa_tpu.ops.jacobi import (
-                                subspace_projector_jacobi)
-                            N_eff = R.shape[-1]
-                            P_emb = subspace_projector_jacobi(
-                                embed_hermitian(R),
-                                2 * (N_eff - cfg.num_sources))
-                            M = unembed_hermitian(P_emb)
-                        else:
-                            M = cpx_ops.noise_projector_cpx(
-                                R, cfg.num_sources)
+                    M = _noise_M(M)
                     den = cpx_ops.music_denominator_cpx(
                         M, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
                 den = jnp.maximum(den, 0.0)
+                P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+                P = P / jnp.max(P, axis=-1, keepdims=True)
+            elif est == Estimator.MIN_NORM:
+                from doa_tpu.ops.min_norm import (
+                    min_norm_denominator_cpx,
+                    min_norm_denominator_subspace)
+                if use_power:
+                    den = min_norm_denominator_subspace(
+                        V_emb, A,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
+                else:
+                    M = _noise_M(M)
+                    den = min_norm_denominator_cpx(
+                        M, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
                 P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
                 P = P / jnp.max(P, axis=-1, keepdims=True)
             elif est == Estimator.CAPON:

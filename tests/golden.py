@@ -136,6 +136,43 @@ def music_spectrum(R, steering_mat, num_sources: int, normalize: bool = True):
     return P
 
 
+def min_norm_weight(R, num_sources: int):
+    """Kumaresan–Tufts minimum-norm vector: w = Pn e1 / (e1^H Pn e1),
+    Pn = E_n E_n^H. R: (B, N, N) → w: (B, N) complex, w[:, 0] = 1."""
+    En = noise_subspace(R, num_sources)
+    Pn = np.einsum("bnm,bkm->bnk", En, En.conj())
+    d = Pn[..., :, 0]
+    return d / np.maximum(d[..., :1].real, 1e-30)
+
+
+def min_norm_spectrum(R, steering_mat, num_sources: int,
+                      normalize: bool = True):
+    """Min-Norm pseudospectrum P = 1 / |a^H w|², max-normalized like
+    MUSIC. R: (B, N, N); steering_mat: (G, N) → P: (B, G)."""
+    w = min_norm_weight(R, num_sources)
+    s = np.einsum("gn,bn->bg", steering_mat.conj(), w)
+    P = 1.0 / np.maximum(np.abs(s) ** 2, 1e-300)
+    if normalize:
+        P = P / P.max(axis=-1, keepdims=True)
+    return P
+
+
+def root_min_norm(R, num_sources: int, norm_spacing: float):
+    """Grid-free Min-Norm for a ULA: roots of W(z) = Σ w_n z^n (degree
+    N−1), K roots closest to |z| = 1; cosθ = +arg(z)/(2πd) under the
+    pinned steering sign. → (B, K) degrees, ascending."""
+    w = min_norm_weight(R, num_sources)
+    out = []
+    for b in range(w.shape[0]):
+        roots = np.roots(w[b][::-1])                 # np.roots: descending
+        score = np.abs(1.0 - np.abs(roots))
+        sel = roots[np.argsort(score)[:num_sources]]
+        cos_t = np.clip(np.angle(sel) / (2 * np.pi * norm_spacing),
+                        -1.0, 1.0)
+        out.append(np.sort(np.degrees(np.arccos(cos_t))))
+    return np.stack(out, axis=0)
+
+
 def capon_spectrum(R, steering_mat, diag_load: float = 0.0, normalize: bool = True):
     """Capon-MVDR: P = 1 / (a^H R⁻¹ a), optional diagonal loading of
     diag_load * tr(R)/N."""
