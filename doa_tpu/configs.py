@@ -141,6 +141,23 @@ class WidebandSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class BeamspaceSpec:
+    """DFT beamspace preprocessing (ops/beamspace.py): project the
+    covariance and steering onto `num_beams` orthonormal DFT beams
+    around `center_deg` before the subspace scan — the classic sector
+    thinning (subspace + scan dimensions shrink N → Nb). Disabled when
+    num_beams == 0. ULA + MUSIC/Capon dense scans only (root/ESPRIT/
+    Min-Norm keep element-space semantics; validated)."""
+
+    num_beams: int = 0
+    center_deg: float = 90.0
+
+    @property
+    def enabled(self) -> bool:
+        return self.num_beams > 0
+
+
+@dataclasses.dataclass(frozen=True)
 class DoaConfig:
     """Full pipeline configuration: geometry + windowing + estimator."""
 
@@ -154,6 +171,7 @@ class DoaConfig:
     avg_method: AvgMethod = AvgMethod.NONE
     smoothing: SmoothingSpec = SmoothingSpec()
     wideband: WidebandSpec = WidebandSpec()
+    beamspace: BeamspaceSpec = BeamspaceSpec()
     num_max_vals: int = 1             # peaks to report (reference find_local_max)
     capon_diag_load: float = 1e-4     # diagonal loading for Capon R⁻¹ (× tr(R)/N)
     compute_dtype: str = "float32"    # "float32" | "bfloat16" scan precision
@@ -251,6 +269,25 @@ class DoaConfig:
                 "'incoherent' | 'cssm'")
         if self.wideband.num_focus_angles < 0:
             raise ValueError("wideband.num_focus_angles must be >= 0")
+        if self.beamspace.enabled:
+            if self.geometry.kind != "ula":
+                raise ValueError("beamspace requires a ULA geometry")
+            if not (self.num_sources < self.beamspace.num_beams
+                    < self.effective_num_elements):
+                raise ValueError(
+                    "need num_sources < beamspace.num_beams < array size")
+            bad = {Estimator.ROOT_MUSIC, Estimator.ESPRIT,
+                   Estimator.MIN_NORM} & set(self.estimators)
+            if bad:
+                raise ValueError(
+                    f"{sorted(e.value for e in bad)} keep element-space "
+                    "semantics and cannot run under beamspace")
+            if self.wideband.enabled or self.smoothing.enabled:
+                raise ValueError(
+                    "beamspace does not compose with wideband/smoothing")
+            if self.scan_mode in ("hierarchical", "pallas"):
+                raise ValueError(
+                    "beamspace scans are dense (scan_mode 'auto'/'dense')")
         # NOTE: irregular overlap (hop not dividing snapshot_size) is
         # legal on every path: the TPU paths frame it with
         # gcd(S, hop)-granularity chunk Grams + strided prefix sums

@@ -133,12 +133,23 @@ def build_pipeline(cfg: DoaConfig, refine_peaks: bool = True,
     """
     A_host, x_rng = _steering_matrix(cfg)
     want_root = Estimator.ROOT_MUSIC in cfg.estimators
+    bs = cfg.beamspace.enabled
+    if bs:
+        from doa_tpu.ops.beamspace import (beamspace_steering,
+                                           dft_beam_matrix)
+        Bm_host = dft_beam_matrix(
+            cfg.geometry.num_elements, cfg.beamspace.num_beams,
+            cfg.beamspace.center_deg, cfg.geometry.norm_spacing)
+        A_host = beamspace_steering(A_host, Bm_host)
 
     @jax.jit
     @f32_matmuls
     def run(x, correction, A):
         x = x * correction[None, :]
         R = compute_covariances(x, cfg)
+        if bs:
+            from doa_tpu.ops.beamspace import beamspace_covariance
+            R = beamspace_covariance(R, Bm_host)
         spectra, pvals, pangs = _spectra_and_peaks(
             R, A, cfg, x_rng, refine_peaks)
         root_angles = None

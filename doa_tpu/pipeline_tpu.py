@@ -81,6 +81,15 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     leaves VMEM and the HBM output is the (B, k) peak list.
     """
     A_host, x_rng = _steering_matrix(cfg)
+    bs = cfg.beamspace.enabled
+    if bs:
+        from doa_tpu.ops.beamspace import (
+            beamspace_steering, dft_beam_matrix, embed_beam_matrix)
+        Bm_host = dft_beam_matrix(
+            cfg.geometry.num_elements, cfg.beamspace.num_beams,
+            cfg.beamspace.center_deg, cfg.geometry.norm_spacing)
+        Bt_host = embed_beam_matrix(Bm_host)      # (2N, 2Nb) tiny const
+        A_host = beamspace_steering(A_host, Bm_host)
     A_re = np.ascontiguousarray(A_host.real.astype(np.float32))
     A_im = np.ascontiguousarray(A_host.imag.astype(np.float32))
     want_root = (Estimator.ROOT_MUSIC in cfg.estimators
@@ -142,7 +151,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     # otherwise (docs/PERF.md).
     scan_mode = cfg.scan_mode
     if scan_mode == "auto":
-        scan_mode = "pallas" if fast_cov else "dense"
+        # Beamspace scans are dense-only (config-validated); the fused
+        # element-space covariance kernel stays on either way.
+        scan_mode = "pallas" if (fast_cov and not bs) else "dense"
 
     def _subspace_packed(E_win):
         from doa_tpu.ops.pallas.subspace import (
@@ -174,6 +185,16 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     def _estimate(R, E_win, Ar, Ai):
         """Everything downstream of the covariance stage. Exactly one of
         R (Cpx windows) / E_win (embedded windows) may be None."""
+        if bs:
+            # Project onto the beam sector HERE (covariance stays
+            # element-space so the fused cov kernel is untouched); every
+            # downstream subspace/scan tensor shrinks N → Nb.
+            from doa_tpu.ops.beamspace import (beamspace_cov_cpx,
+                                               beamspace_embedded)
+            if E_win is not None:
+                E_win = beamspace_embedded(E_win, Bt_host)
+            if R is not None:
+                R = beamspace_cov_cpx(R, Bm_host)
         A = Cpx(Ar, Ai)
         spectra, pvals, pangs = {}, {}, {}
         root_angles = None
