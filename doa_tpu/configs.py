@@ -263,10 +263,16 @@ class DoaConfig:
             raise ValueError(
                 f"power_schedule {self.power_schedule!r} not one of "
                 "'e1' | 'e2' | 'e4'")
-        if self.wideband.fusion not in ("incoherent", "cssm"):
+        if self.wideband.fusion not in ("incoherent", "cssm",
+                                        "cssm_auto"):
             raise ValueError(
                 f"wideband.fusion {self.wideband.fusion!r} not "
-                "'incoherent' | 'cssm'")
+                "'incoherent' | 'cssm' | 'cssm_auto'")
+        if (self.wideband.fusion == "cssm_auto"
+                and self.geometry.kind != "ula"):
+            raise ValueError(
+                "fusion='cssm_auto' (two-pass runtime focusing) is "
+                "ULA-only; use the static 'cssm' for planar arrays")
         if self.wideband.num_focus_angles < 0:
             raise ValueError("wideband.num_focus_angles must be >= 0")
         if self.beamspace.enabled:

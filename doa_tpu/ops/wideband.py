@@ -209,6 +209,126 @@ def focusing_matrices(cfg: DoaConfig) -> np.ndarray:
     return np.stack(mats, axis=0).astype(np.complex64)
 
 
+def device_ula_steering_cpx(theta_deg, num_elements: int,
+                            spacings) -> Cpx:
+    """ULA steering at RUNTIME angles, split-complex: theta_deg (J,)
+    device degrees × spacings (S,) → Cpx[S, J, N] with
+    a[s, j, n] = exp(−j2π·d_s·cosθ_j·n) (the pinned golden sign)."""
+    from doa_tpu.cpx import expj
+    cs = jnp.cos(jnp.deg2rad(theta_deg))            # (J,)
+    n = jnp.arange(num_elements, dtype=jnp.float32)
+    ph = (-2.0 * jnp.pi) * (jnp.asarray(spacings)[:, None, None]
+                            * cs[None, :, None] * n[None, None, :])
+    return expj(ph)
+
+
+def polar_unitary_cpx(M: Cpx, iters: int = 20, eps: float = 1e-4) -> Cpx:
+    """Batched unitary polar factor T = M·(MᴴM + ε·tr̄·I)^{−1/2} via a
+    coupled Newton-Schulz inverse-sqrt — matmul-only, the TPU-native
+    replacement for the host SVD in `focusing_matrices` when the
+    focusing directions are only known at RUNTIME (two-pass CSSM).
+    M: Cpx[..., N, N]; ε regularizes rank-deficient direction sets
+    (directions orthogonal to the fit carry no manifold energy).
+
+    Matmul precision is pinned locally (tensorfloat32): the NS
+    iteration diverges to ~0.12 unitarity error under JAX's default
+    single-pass-bf16 TPU matmuls (measured — the docs/PERF.md
+    precision trap), and this op must hold up standalone, outside the
+    pipelines' f32_matmuls trace scope."""
+    from doa_tpu.cpx import einsum as cpx_einsum
+
+    N = M.shape[-1]
+    with jax.default_matmul_precision("tensorfloat32"):
+        G = cpx_einsum("...mn,...mk->...nk", M.conj(), M)  # MᴴM ⪰ 0
+        eye = jnp.eye(N, dtype=jnp.float32)
+        trbar = jnp.trace(G.re, axis1=-2, axis2=-1)[..., None, None] / N
+        G = Cpx(G.re + eps * trbar * eye, G.im)
+        # Frobenius scale ≥ λmax puts the spectrum in NS's (0, 1] basin.
+        c = jnp.sqrt(jnp.sum(G.re * G.re + G.im * G.im,
+                             axis=(-2, -1)))[..., None, None]
+        c = jnp.maximum(c, 1e-30)
+        Y = Cpx(G.re / c, G.im / c)
+        Z = Cpx(jnp.broadcast_to(eye, Y.shape[:-2] + (N, N)),
+                jnp.zeros(Y.shape[:-2] + (N, N), jnp.float32))
+        mm = lambda a, b: cpx_einsum(  # noqa: E731
+            "...ij,...jk->...ik", a, b)
+        for _ in range(iters):                             # → Z = Yn^{-1/2}
+            ZY = mm(Z, Y)
+            Tns = Cpx(0.5 * (3.0 * eye - ZY.re), -0.5 * ZY.im)
+            Y = mm(Y, Tns)
+            Z = mm(Tns, Z)
+        Ginv_h = Cpx(Z.re / jnp.sqrt(c), Z.im / jnp.sqrt(c))
+        T = mm(M, Ginv_h)                                  # M (MᴴM)^{-1/2}
+        # f32 coupled NS plateaus ~6e-3 off unitary at cond(G) ≈ 1e3
+        # (measured, numpy f32 reproduces it); two direct polar-NS
+        # polish steps T ← ½T(3I − TᴴT) are quadratic near unitarity
+        # (same singular vectors → same polar factor) and land at f32
+        # rounding (~1e-6).
+        for _ in range(2):
+            H = cpx_einsum("...mn,...mk->...nk", T.conj(), T)
+            S = Cpx(0.5 * (3.0 * eye - H.re), -0.5 * H.im)
+            T = mm(T, S)
+        return T
+
+
+def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
+                                cfg: DoaConfig,
+                                sector_halfwidth_deg: float = 2.0,
+                                sector_weight: float = 2.0) -> Cpx:
+    """Two-pass AUTO-FOCUSED CSSM (fusion="cssm_auto"), fully on device.
+
+    Pass 1: capture-mean subband covariances → incoherent fused MUSIC
+    spectrum → K coarse peak angles (the classic Hung–Kaveh
+    preliminary-estimate step). Pass 2: focusing directions = the
+    estimated sector (θ̂ ± halfwidth, weighted ×sector_weight) plus the
+    static FOV set (keeps the Procrustes fit full-rank), per-subband
+    steering synthesized at runtime angles, unitary T_f from the
+    Newton-Schulz polar factor, R_coh = mean_f T_f R_f T_fᴴ.
+
+    vs the static J=2N set: the fit concentrates where the sources
+    actually are, which is what holds the coherent envelope at large
+    fractional bandwidths (the FOV-uniform fit dilutes as the manifold
+    bends — see tests/test_cssm.py auto-vs-static sweep)."""
+    from doa_tpu.cpx import einsum as cpx_einsum
+    from doa_tpu.ops.peaks import find_local_max
+
+    R_sub = subband_covariances(x, W, cfg)               # (F, B, N, N)
+    Rbar = Cpx(jnp.mean(R_sub.re, axis=1), jnp.mean(R_sub.im, axis=1))
+    V = cpx_ops.signal_subspace_embedded(
+        Rbar, cfg.num_sources, iters=max(cfg.power_iters, 16))
+
+    def spec_one(v, Af):
+        den = jnp.maximum(
+            cpx_ops.music_denominator_subspace(v[None], Af), 0.0)
+        P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        return P / jnp.max(P, axis=-1, keepdims=True)
+
+    P = jnp.mean(jax.vmap(spec_one)(V, A_stack), axis=0)  # (1, G)
+    _, th = find_local_max(P, cfg.num_sources,
+                           cfg.grid.lo_deg, cfg.grid.hi_deg)
+    offs = jnp.asarray([-sector_halfwidth_deg, 0.0,
+                        sector_halfwidth_deg], jnp.float32)
+    sector = (th[0][:, None] + offs[None, :]).reshape(-1)  # (3K,)
+    uni = jnp.asarray(np.asarray(
+        focusing_directions(cfg), np.float32))             # (J0,)
+    dirs = jnp.concatenate([sector, uni])
+    wts = jnp.concatenate(
+        [jnp.full(sector.shape, sector_weight, jnp.float32),
+         jnp.ones(uni.shape, jnp.float32)])
+    N = cfg.geometry.num_elements
+    spac = np.concatenate(
+        [[cfg.geometry.norm_spacing],
+         subband_spacings(cfg)]).astype(np.float32)
+    A_all = device_ula_steering_cpx(dirs, N, spac)        # (F+1, J, N)
+    B0w = Cpx(A_all.re[0] * wts[:, None], A_all.im[0] * wts[:, None])
+    Bf = Cpx(A_all.re[1:], A_all.im[1:])
+    M = cpx_einsum("jn,fjm->fnm", B0w, Bf.conj())         # B₀ diag(w) B_fᴴ
+    T_foc = polar_unitary_cpx(M)
+    TR = cpx_ops_einsum("fnm,fbmk->fbnk", T_foc, R_sub)
+    R_foc = cpx_ops_einsum("fbnk,fmk->fbnm", TR, T_foc.conj())
+    return Cpx(jnp.mean(R_foc.re, axis=0), jnp.mean(R_foc.im, axis=0))
+
+
 def cssm_covariance_cpx(x: Cpx, W: Cpx, T_foc: Cpx,
                         cfg: DoaConfig) -> Cpx:
     """x: Cpx[T, N], W: DFT Cpx[F, F], T_foc: Cpx[F, N, N] →

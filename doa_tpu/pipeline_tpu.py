@@ -99,6 +99,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
 
     wb = cfg.wideband.enabled
     wb_cssm = wb and cfg.wideband.fusion == "cssm"
+    wb_auto = wb and cfg.wideband.fusion == "cssm_auto"
     if wb:
         from doa_tpu.ops.wideband import (
             dft_matrix, focusing_matrices, wideband_steering_stack)
@@ -405,14 +406,24 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         return R, E_win
 
     def run(xr, xi, cr, ci, Ar, Ai, *wb_extra):
-        if wb_cssm:
+        if wb_cssm or wb_auto:
             # Coherent fusion: focused covariance → the full narrowband
             # estimator suite (incl. FB averaging, smoothing, Capon and
             # the grid-free root-MUSIC/ESPRIT — wideband grid-free DoA).
-            from doa_tpu.ops.wideband import cssm_covariance_cpx
+            # "cssm_auto" focuses at RUNTIME coarse estimates (two-pass,
+            # on-device Newton-Schulz polar); "cssm" at the static set.
             x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
-            Wr, Wi, Tr, Ti = wb_extra
-            R = cssm_covariance_cpx(x, Cpx(Wr, Wi), Cpx(Tr, Ti), cfg)
+            if wb_auto:
+                from doa_tpu.ops.wideband import (
+                    auto_focused_covariance_cpx)
+                Wr, Wi, Asr, Asi = wb_extra
+                R = auto_focused_covariance_cpx(
+                    x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg)
+            else:
+                from doa_tpu.ops.wideband import cssm_covariance_cpx
+                Wr, Wi, Tr, Ti = wb_extra
+                R = cssm_covariance_cpx(x, Cpx(Wr, Wi), Cpx(Tr, Ti),
+                                        cfg)
             if cfg.avg_method == AvgMethod.FORWARD_BACKWARD:
                 R = cpx_ops.forward_backward_cpx(R)
             if cfg.smoothing.enabled:

@@ -174,3 +174,73 @@ def test_cssm_config_validation():
 
     with pytest.raises(ValueError, match="fusion"):
         _wb_cfg(wideband=WidebandSpec(num_subbands=8, fusion="bogus"))
+
+
+# ---------------------------------------------------------------------
+# Two-pass AUTO-FOCUSED CSSM (fusion="cssm_auto")
+# ---------------------------------------------------------------------
+
+def test_polar_unitary_matches_svd():
+    """Device Newton-Schulz polar factor vs the numpy SVD polar
+    T = U Vᴴ (well-conditioned batch pins the convention exactly)."""
+    from doa_tpu.ops.wideband import polar_unitary_cpx
+
+    rng = np.random.default_rng(3)
+    N, F = 16, 6
+    M = (rng.standard_normal((F, N, N))
+         + 1j * rng.standard_normal((F, N, N))).astype(np.complex64)
+    M = M + 3.0 * np.eye(N)           # well-conditioned, far from rank-def
+    T = polar_unitary_cpx(Cpx.from_complex(M)).to_numpy()
+    eye = np.eye(N)
+    for f in range(F):
+        U, _, Vh = np.linalg.svd(M[f])
+        np.testing.assert_allclose(T[f].conj().T @ T[f], eye, atol=5e-4)
+        np.testing.assert_allclose(T[f], U @ Vh, atol=5e-4)
+
+
+def test_device_ula_steering_matches_golden():
+    from doa_tpu.ops.wideband import device_ula_steering_cpx
+    import jax.numpy as jnp
+
+    th = np.array([40.0, 91.5, 133.0], np.float32)
+    got = device_ula_steering_cpx(jnp.asarray(th), 8,
+                                  np.array([0.5, 0.61], np.float32))
+    got = got.to_numpy()
+    for s, d in enumerate((0.5, 0.61)):
+        want = golden.ula_steering(th, 8, d)
+        np.testing.assert_allclose(got[s], want, atol=2e-5)
+
+
+def test_auto_focus_beats_or_matches_static_at_large_fbw():
+    """fractional_bw 0.55 — past the static J=2N set's tested envelope.
+    The runtime-focused fit must stay within tolerance of truth and not
+    lose to the static set."""
+    fbw = 0.55
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=70.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=115.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        16, 0.5, 16 * 1024, fractional_bw=fbw, snr_db=10, seed=4)
+
+    def err(fusion):
+        cfg = _wb_cfg(wideband=WidebandSpec(
+            num_subbands=16, fractional_bw=fbw, fusion=fusion))
+        res = build_pipeline_tpu(cfg)(x)
+        med = np.median(np.sort(
+            np.asarray(res.peak_angles["music"]), -1), axis=0)
+        return np.abs(med - np.array([70.0, 115.0])).max()
+
+    e_auto, e_static = err("cssm_auto"), err("cssm")
+    assert e_auto < 1.0, (e_auto, e_static)
+    assert e_auto <= e_static + 0.1, (e_auto, e_static)
+
+
+def test_cssm_auto_requires_ula():
+    import pytest
+
+    with pytest.raises(ValueError, match="ULA-only"):
+        DoaConfig(
+            geometry=ArrayGeometry(kind="ura", num_elements=16,
+                                   shape=(4, 4), norm_spacing=0.5),
+            snapshot_size=256, num_sources=2,
+            grid2d=GridSpec2D(),
+            wideband=WidebandSpec(num_subbands=8, fusion="cssm_auto"))
