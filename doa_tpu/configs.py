@@ -31,6 +31,9 @@ class Estimator(str, enum.Enum):
     MIN_NORM = "min_norm"    # Kumaresan–Tufts (beyond reference): the
     #                          noise subspace collapsed to ONE vector —
     #                          O(B·G·N) scan + a well-separated root form
+    UNITARY_ESPRIT = "unitary_esprit"  # Haardt–Nossek real-valued
+    #                          ESPRIT: all-real after one transform,
+    #                          implicit FB (one coherent pair free)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -283,6 +286,7 @@ class DoaConfig:
                 raise ValueError(
                     "need num_sources < beamspace.num_beams < array size")
             bad = {Estimator.ROOT_MUSIC, Estimator.ESPRIT,
+                   Estimator.UNITARY_ESPRIT,
                    Estimator.MIN_NORM} & set(self.estimators)
             if bad:
                 raise ValueError(

@@ -244,3 +244,124 @@ def esprit_2d_cpx(R: Cpx, num_sources: int, norm_spacing: float,
     order = jnp.argsort(az, axis=-1)
     return (jnp.take_along_axis(az, order, axis=-1),
             jnp.take_along_axis(el, order, axis=-1))
+
+
+# ---------------------------------------------------------------------
+# Unitary (real-valued) ESPRIT — Haardt–Nossek. The most TPU-native
+# member of the family: after one complex→real transform, EVERYTHING
+# (subspace iteration, LS invariance, eigenvalues) is real arithmetic —
+# half the matmul planes of complex ESPRIT — and forward-backward
+# averaging is IMPLICIT in the transform (one coherent pair
+# decorrelates with no explicit FB/smoothing pass).
+# Golden conventions pinned by tests/golden.py::unitary_esprit.
+# ---------------------------------------------------------------------
+
+def _real_signal_subspace(C, num_sources: int, iters: int = 16):
+    """Real symmetric batch C: f32[B, N, N] → orthonormal top-K basis
+    f32[B, N, K] by subspace iteration (real twin of
+    signal_subspace_cpx).
+
+    Schedule hardening (the docs/PERF.md power-schedule lesson applies
+    here too — measured: orth-every-2 with a trace-scaled 6-iter NS
+    LOST the λ₂ ≈ λ₁/134 direction of an FB-decorrelated coherent
+    pair, the exact case Unitary ESPRIT exists for; after one apply at
+    that spread the columns are collinear to ~0.008 rad and NS on the
+    near-singular Gram never recovers). Cure: fixed random orthonormal
+    INIT (O(1) overlap with every eigendirection) and per-iteration
+    MODIFIED GRAM-SCHMIDT — exact sequential deflation keeps the weak
+    direction at any spread; K is static and tiny, so the unrolled
+    K²/2 batched projections cost ~nothing."""
+    import numpy as np
+
+    K = num_sources
+    N = C.shape[-1]
+    rng = np.random.default_rng(2024)
+    V0, _ = np.linalg.qr(rng.standard_normal((N, K)).astype(np.float32))
+    V = jnp.broadcast_to(jnp.asarray(V0), C.shape[:-2] + (N, K))
+
+    def mgs(V):
+        cols = []
+        for i in range(K):
+            v = V[..., :, i]
+            for u in cols:
+                v = v - jnp.sum(u * v, axis=-1, keepdims=True) * u
+            v = v / jnp.sqrt(jnp.maximum(
+                jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
+            cols.append(v)
+        return jnp.stack(cols, axis=-1)
+
+    for _ in range(iters):
+        V = mgs(jnp.einsum("bik,bkj->bij", C, V,
+                           preferred_element_type=jnp.float32))
+    return V
+
+
+def unitary_esprit_cpx(R: Cpx, num_sources: int, norm_spacing: float,
+                       subspace_iters: int = 16, root_iters: int = 40):
+    """Unitary ESPRIT: R: Cpx[B, N, N] → DoA f32[B, K] deg, ascending.
+
+    C = Re(Q_Nᴴ R Q_N) (the real FB covariance — Q host-precomputed);
+    real subspace iteration; real LS invariance Υ = (K1 Es)⁺(K2 Es);
+    eigenvalues via char-poly + Aberth (real parts — exactly real in
+    the noiseless model); μ = −2·arctan(ω), θ = acos(μ/(2πd)).
+
+    Matmul precision pinned locally (tensorfloat32) so the op holds up
+    standalone, outside the pipelines' f32_matmuls scope."""
+    import numpy as np
+
+    N = R.shape[-1]
+    K = num_sources
+    QN = _unitary_q_np(N)
+    QN1 = _unitary_q_np(N - 1)
+    J2 = np.zeros((N - 1, N), np.float32)
+    J2[np.arange(N - 1), np.arange(1, N)] = 1.0
+    Mk = QN1.conj().T @ J2 @ QN                      # (N-1, N) complex
+    K1 = jnp.asarray(2.0 * Mk.real.astype(np.float32))
+    K2 = jnp.asarray(2.0 * Mk.imag.astype(np.float32))
+    Qr = jnp.asarray(QN.real.astype(np.float32))
+    Qi = jnp.asarray(QN.imag.astype(np.float32))
+
+    with jax.default_matmul_precision("tensorfloat32"):
+        # C = Re(Qᴴ R Q) = Qrᵀ(Rr Qr − Ri Qi) + Qiᵀ(Ri Qr + Rr Qi)
+        rmm = lambda a, b: jnp.einsum(  # noqa: E731
+            "bij,jk->bik", a, b, preferred_element_type=jnp.float32)
+        lmm = lambda a, b: jnp.einsum(  # noqa: E731
+            "ij,bjk->bik", a, b, preferred_element_type=jnp.float32)
+        T1 = rmm(R.re, Qr) - rmm(R.im, Qi)
+        T2 = rmm(R.im, Qr) + rmm(R.re, Qi)
+        C = lmm(Qr.T, T1) + lmm(Qi.T, T2)            # (B, N, N) real sym
+        C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
+        Es = _real_signal_subspace(C, K, iters=subspace_iters)
+        A1 = lmm(K1, Es)                             # (B, N-1, K)
+        A2 = lmm(K2, Es)
+        G = jnp.einsum("bnk,bnl->bkl", A1, A1,
+                       preferred_element_type=jnp.float32)
+        Ginv = _ns_inverse(Cpx(G, jnp.zeros_like(G)))
+        AtA2 = jnp.einsum("bnk,bnl->bkl", A1, A2,
+                          preferred_element_type=jnp.float32)
+        Ups = jnp.einsum("bkl,blm->bkm", Ginv.re, AtA2,
+                         preferred_element_type=jnp.float32)
+        coeffs = _char_poly_coeffs(Cpx(Ups, jnp.zeros_like(Ups)))
+        lam = polynomial_roots_cpx(coeffs, num_iters=root_iters)
+    mu = -2.0 * jnp.arctan(lam.re)                   # (B, K) real eigs
+    cos_theta = jnp.clip(mu / (2.0 * jnp.pi * norm_spacing), -1.0, 1.0)
+    return jnp.sort(jnp.rad2deg(jnp.arccos(cos_theta)), axis=-1)
+
+
+def _unitary_q_np(N: int):
+    """Host Q_N construction (tests/golden.py::unitary_q is the pinned
+    twin)."""
+    import numpy as np
+
+    m = N // 2
+    I = np.eye(m)
+    P = I[::-1]
+    if N % 2 == 0:
+        top = np.concatenate([I, 1j * I], axis=1)
+        bot = np.concatenate([P, -1j * P], axis=1)
+        return np.concatenate([top, bot], axis=0) / np.sqrt(2)
+    z = np.zeros((m, 1))
+    top = np.concatenate([I, z, 1j * I], axis=1)
+    mid = np.concatenate([z.T, [[np.sqrt(2)]], z.T], axis=1)
+    bot = np.concatenate([P, z, -1j * P], axis=1)
+    return np.concatenate([top, mid, bot], axis=0) / np.sqrt(2)

@@ -42,6 +42,7 @@ class DoaResult:
     peak_angles: Dict[str, jax.Array]    # estimator → f32[B, num_max_vals] deg
     root_music_angles: Optional[jax.Array] = None  # f32[B, K] deg
     esprit_angles: Optional[jax.Array] = None      # f32[B, K] deg
+    unitary_esprit_angles: Optional[jax.Array] = None  # f32[B, K] deg
     covariance: Optional[jax.Array] = None         # c64[B, N', N']
     subspace_residual: Optional[jax.Array] = None  # f32[B] (guard mode)
 
@@ -98,7 +99,8 @@ def _spectra_and_peaks(R, A, cfg: DoaConfig, x_rng, refine: bool):
         elif est == Estimator.MIN_NORM:
             from doa_tpu.ops.min_norm import min_norm_spectrum
             P = min_norm_spectrum(R, A, cfg.num_sources)
-        elif est in (Estimator.ROOT_MUSIC, Estimator.ESPRIT):
+        elif est in (Estimator.ROOT_MUSIC, Estimator.ESPRIT,
+                     Estimator.UNITARY_ESPRIT):
             continue  # grid-free; handled separately
         else:  # pragma: no cover
             raise ValueError(est)
@@ -172,10 +174,18 @@ def build_pipeline(cfg: DoaConfig, refine_peaks: bool = True,
                     Rc, cfg.num_sources, cfg.geometry.norm_spacing,
                     cfg.geometry.shape)
                 esprit_angles = jnp.stack([az, el], axis=-1)
+        unitary_angles = None
+        if Estimator.UNITARY_ESPRIT in cfg.estimators:
+            from doa_tpu.cpx import Cpx
+            from doa_tpu.ops.esprit import unitary_esprit_cpx
+            unitary_angles = unitary_esprit_cpx(
+                Cpx(jnp.real(R), jnp.imag(R)), cfg.num_sources,
+                cfg.geometry.norm_spacing)
         return dict(
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
             esprit_angles=esprit_angles,
+            unitary_esprit_angles=unitary_angles,
             covariance=R if return_covariance else None,
         )
 

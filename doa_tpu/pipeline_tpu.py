@@ -144,9 +144,11 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     fast_cov = (cov_impl == "pallas" and not wb
                 and not cfg.smoothing.enabled and use_power
                 and math.gcd(cfg.snapshot_size, cfg.hop) % tp == 0)
+    want_unitary = (Estimator.UNITARY_ESPRIT in cfg.estimators
+                    and cfg.geometry.kind == "ula")
     need_R = (Estimator.CAPON in cfg.estimators
               or Estimator.ESPRIT in cfg.estimators
-              or want_root or return_covariance)
+              or want_unitary or want_root or return_covariance)
     # "auto" composes the measured-fastest path per backend: the fused
     # Pallas scan when the fast covariance path is active, dense XLA
     # otherwise (docs/PERF.md).
@@ -386,10 +388,16 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 R, cfg.num_sources, cfg.geometry.norm_spacing,
                 cfg.geometry.shape)
             esprit_angles = jnp.stack([az, el], axis=-1)  # (B, K, 2)
+        unitary_angles = None
+        if want_unitary:
+            from doa_tpu.ops.esprit import unitary_esprit_cpx
+            unitary_angles = unitary_esprit_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
         return dict(
             spectra=spectra, peak_values=pvals, peak_angles=pangs,
             root_music_angles=root_angles,
             esprit_angles=esprit_angles,
+            unitary_esprit_angles=unitary_angles,
             covariance=((R.re, R.im) if return_covariance else None),
             subspace_residual=sub_res,
         )

@@ -221,6 +221,57 @@ def root_music(R, num_sources: int, norm_spacing: float):
 # Peaks
 # ---------------------------------------------------------------------------
 
+def unitary_q(N: int):
+    """Left-Π-real unitary transform Q_N (Haardt–Nossek): Qᴴ M Q is real
+    for centro-Hermitian M. Even N = 2m: Q = [[I, jI], [Π, −jΠ]]/√2;
+    odd N = 2m+1 gains the middle row [0ᵀ, √2, 0ᵀ]."""
+    m = N // 2
+    I = np.eye(m)
+    P = I[::-1]
+    if N % 2 == 0:
+        top = np.concatenate([I, 1j * I], axis=1)
+        bot = np.concatenate([P, -1j * P], axis=1)
+        return np.concatenate([top, bot], axis=0) / np.sqrt(2)
+    z = np.zeros((m, 1))
+    top = np.concatenate([I, z, 1j * I], axis=1)
+    mid = np.concatenate([z.T, [[np.sqrt(2)]], z.T], axis=1)
+    bot = np.concatenate([P, z, -1j * P], axis=1)
+    return np.concatenate([top, mid, bot], axis=0) / np.sqrt(2)
+
+
+def unitary_esprit(R, num_sources: int, norm_spacing: float):
+    """Unitary (real-valued) ESPRIT for a ULA (Haardt–Nossek).
+
+    C = Re(Q_Nᴴ R Q_N) is the real forward-backward covariance (FB
+    averaging is IMPLICIT — one coherent pair decorrelates for free);
+    real signal subspace Es from eigh(C); real invariance
+    K1 Es Υ ≈ K2 Es with [K1 | K2] = 2·[Re | Im](Q_{N−1}ᴴ J2 Q_N),
+    J2 = last-(N−1)-rows selection; eigenvalues ω of Υ give
+    μ = −2·arctan(ω) (the sign matches the pinned steering
+    a_n = exp(−j·2πd·cosθ·n); Haardt's papers use exp(+jμn)), and
+    θ = acos(μ / (2πd)). → (B, K) degrees, ascending."""
+    N = R.shape[-1]
+    QN = unitary_q(N)
+    QN1 = unitary_q(N - 1)
+    C = np.real(np.einsum("nm,bmk,kl->bnl", QN.conj().T, R, QN))
+    _, v = np.linalg.eigh(C)
+    Es = v[..., :, -num_sources:]                # (B, N, K) real
+    J2 = np.zeros((N - 1, N))
+    J2[np.arange(N - 1), np.arange(1, N)] = 1.0
+    M = QN1.conj().T @ J2 @ QN
+    K1, K2 = 2 * M.real, 2 * M.imag
+    out = []
+    for b in range(R.shape[0]):
+        A1 = K1 @ Es[b]
+        A2 = K2 @ Es[b]
+        Ups, *_ = np.linalg.lstsq(A1, A2, rcond=None)
+        lam = np.linalg.eigvals(Ups)
+        mu = -2.0 * np.arctan(np.real(lam))
+        ct = np.clip(mu / (2 * np.pi * norm_spacing), -1.0, 1.0)
+        out.append(np.sort(np.degrees(np.arccos(ct))))
+    return np.stack(out, axis=0)
+
+
 def find_local_max(P, num_max_vals: int, x_min: float, x_max: float):
     """Reference find_local_max: interior local maxima of each row of
     P: (B, G), top num_max_vals by value. Returns (values, locations) each
