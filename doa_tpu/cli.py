@@ -139,6 +139,11 @@ def cmd_estimate(args):
         out["esprit"] = {
             "median_angles_deg": np.round(np.median(
                 np.asarray(res.esprit_angles), axis=0), 3).tolist()}
+    if res.unitary_esprit_angles is not None:
+        out["unitary_esprit"] = {
+            "median_angles_deg": np.round(np.median(
+                np.asarray(res.unitary_esprit_angles), axis=0),
+                3).tolist()}
     if args.spectra_out:
         np.savez(args.spectra_out,
                  **{k: np.asarray(v) for k, v in res.spectra.items()})

@@ -99,6 +99,9 @@ def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
                 cand["root_music"] = np.asarray(out.root_music_angles)
             if out.esprit_angles is not None:
                 cand["esprit"] = np.asarray(out.esprit_angles)
+            if out.unitary_esprit_angles is not None:
+                cand["unitary_esprit"] = np.asarray(
+                    out.unitary_esprit_angles)
             for est, a in cand.items():
                 e, r = _match_errors(a, truth)
                 per_est.setdefault(est, []).append(e)
@@ -171,6 +174,9 @@ def evaluate_separation_sweep(cfg: DoaConfig, center_deg: float,
                 cand["root_music"] = np.asarray(out.root_music_angles)
             if out.esprit_angles is not None:
                 cand["esprit"] = np.asarray(out.esprit_angles)
+            if out.unitary_esprit_angles is not None:
+                cand["unitary_esprit"] = np.asarray(
+                    out.unitary_esprit_angles)
             for est, a in cand.items():
                 # gate = sep/3: a single MERGED peak (padded into both
                 # slots) sits sep/2 from each truth and must NOT count

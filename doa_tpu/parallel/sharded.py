@@ -137,7 +137,16 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     stack), and the incoherent fusion is one psum over that axis —
     comm volume O(B·G) per device, independent of F."""
     if cfg.wideband.enabled:
+        if cfg.wideband.fusion == "cssm_auto":
+            raise NotImplementedError(
+                "sharded wideband supports fusion='incoherent'/'cssm'; "
+                "runtime auto-focusing is single-program for now "
+                "(use pipeline_tpu, or static 'cssm' here)")
         return _build_sharded_wideband(cfg, mesh, refine_peaks)
+    if cfg.beamspace.enabled:
+        raise NotImplementedError(
+            "beamspace is not wired into the sharded pipeline yet "
+            "(use build_pipeline_tpu)")
     A_host, x_rng = _steering_matrix(cfg)
     S, hop, overlap = cfg.snapshot_size, cfg.hop, cfg.overlap
     fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
@@ -178,10 +187,12 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
         A = Cpx(Ar, Ai)
         V_emb = None
         if use_power and (Estimator.MUSIC in cfg.estimators
+                          or Estimator.MIN_NORM in cfg.estimators
                           or Estimator.ROOT_MUSIC in cfg.estimators):
             V_emb = cpx_ops.signal_subspace_embedded(
                 R, cfg.num_sources, iters=cfg.power_iters,
                 squarings=cfg.power_squarings)
+        M_proj = None
         out = {}
         for est in cfg.estimators:
             if est == Estimator.MUSIC:
@@ -191,8 +202,27 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                         compute_dtype=jnp.dtype(cfg.compute_dtype))
                     den = jnp.maximum(den, 0.0)
                 else:
-                    M = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
-                    den = cpx_ops.music_denominator_cpx(M, A)
+                    M_proj = (M_proj if M_proj is not None else
+                              cpx_ops.noise_projector_cpx(
+                                  R, cfg.num_sources))
+                    den = cpx_ops.music_denominator_cpx(M_proj, A)
+                P_loc = 1.0 / jnp.maximum(den,
+                                          jnp.finfo(jnp.float32).tiny)
+            elif est == Estimator.MIN_NORM:
+                # w is per-window (grid-independent), so the grid-
+                # sharded scan needs no extra comms at all.
+                from doa_tpu.ops.min_norm import (
+                    min_norm_denominator_cpx,
+                    min_norm_denominator_subspace)
+                if use_power:
+                    den = min_norm_denominator_subspace(
+                        V_emb, A,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
+                else:
+                    M_proj = (M_proj if M_proj is not None else
+                              cpx_ops.noise_projector_cpx(
+                                  R, cfg.num_sources))
+                    den = min_norm_denominator_cpx(M_proj, A)
                 P_loc = 1.0 / jnp.maximum(den,
                                           jnp.finfo(jnp.float32).tiny)
             elif est == Estimator.CAPON:
@@ -232,11 +262,18 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
 
             out["esprit_angles"] = esprit_cpx(
                 R, cfg.num_sources, cfg.geometry.norm_spacing)
+        if (Estimator.UNITARY_ESPRIT in cfg.estimators
+                and cfg.geometry.kind == "ula"):
+            from doa_tpu.ops.esprit import unitary_esprit_cpx
+
+            out["unitary_esprit_angles"] = unitary_esprit_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
         return out
 
     out_specs = {}
     for est in cfg.estimators:
-        if est in (Estimator.MUSIC, Estimator.CAPON):
+        if est in (Estimator.MUSIC, Estimator.CAPON,
+                   Estimator.MIN_NORM):
             out_specs[f"spectrum_{est.value}"] = (
                 P(SNAP_AXIS, None) if is_2d else P(SNAP_AXIS, GRID_AXIS))
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)
@@ -247,6 +284,9 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     if (Estimator.ESPRIT in cfg.estimators
             and cfg.geometry.kind == "ula"):
         out_specs["esprit_angles"] = P(SNAP_AXIS, None)
+    if (Estimator.UNITARY_ESPRIT in cfg.estimators
+            and cfg.geometry.kind == "ula"):
+        out_specs["unitary_esprit_angles"] = P(SNAP_AXIS, None)
 
     mapped = jax.shard_map(
         shard_fn,

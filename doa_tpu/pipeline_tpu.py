@@ -516,7 +516,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             out = run_ilv_py(x, cr, ci, Ar, Ai)
             keep = {k: out[k] for k in
                     ("peak_values", "peak_angles", "root_music_angles",
-                     "esprit_angles") if out.get(k) is not None}
+                     "esprit_angles", "unitary_esprit_angles")
+                    if out.get(k) is not None}
             new_carry = carry if carry_rows == 0 else x[-carry_rows:]
             return new_carry, keep
 

@@ -65,7 +65,8 @@ def html_report(path: str, result, cfg=None, true_angles=None,
                else np.median(a, axis=0))
         parts.append(f"<tr><td>{est}</td>"
                      f"<td>{np.round(med, 3).tolist()}</td></tr>")
-    for name in ("root_music_angles", "esprit_angles"):
+    for name in ("root_music_angles", "esprit_angles",
+                 "unitary_esprit_angles"):
         arr = getattr(result, name, None)
         if arr is not None:
             med = np.median(np.asarray(arr), axis=0)

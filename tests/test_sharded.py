@@ -200,3 +200,39 @@ def test_sharded_wideband_cssm_parity(spec):
     np.testing.assert_allclose(
         np.sort(np.asarray(out["peak_angles_music"]), -1),
         np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=0.05)
+
+
+def test_sharded_new_estimators_parity():
+    """MIN_NORM (grid-sharded scan, zero extra comms) and
+    UNITARY_ESPRIT (snap-sharded grid-free) in the sharded pipeline
+    vs the single-device TPU pipeline."""
+    cfg = dataclasses.replace(
+        CFG, estimators=(Estimator.MUSIC, Estimator.MIN_NORM,
+                         Estimator.UNITARY_ESPRIT))
+    x = _capture()
+    mesh = make_mesh(MeshSpec(4, 2))
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    ref = build_pipeline_tpu(cfg)(x)
+    a_s = np.sort(np.asarray(out["peak_angles_min_norm"])[:B_valid], -1)
+    a_r = np.sort(np.asarray(ref.peak_angles["min_norm"]), -1)
+    np.testing.assert_allclose(a_s, a_r, atol=0.05)
+    u_s = np.asarray(out["unitary_esprit_angles"])[:B_valid]
+    u_r = np.asarray(ref.unitary_esprit_angles)
+    np.testing.assert_allclose(u_s, u_r, atol=0.05)
+
+
+def test_sharded_rejects_unsupported_compositions():
+    from doa_tpu.configs import BeamspaceSpec, WidebandSpec
+
+    mesh = make_mesh(MeshSpec(4, 2))
+    cfg_bs = dataclasses.replace(
+        CFG, estimators=(Estimator.MUSIC,),
+        beamspace=BeamspaceSpec(num_beams=4))
+    with pytest.raises(NotImplementedError, match="beamspace"):
+        build_sharded_pipeline(cfg_bs, mesh)
+    cfg_wa = dataclasses.replace(
+        CFG, overlap=0, estimators=(Estimator.MUSIC,),
+        wideband=WidebandSpec(num_subbands=8, fusion="cssm_auto"))
+    with pytest.raises(NotImplementedError, match="auto"):
+        build_sharded_pipeline(cfg_wa, mesh)
