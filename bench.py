@@ -52,11 +52,10 @@ def _build(T: int, fused: bool):
         num_max_vals=2,
         scan_mode="pallas" if fused else "dense",
         cov_impl="pallas" if fused else "xla",
-        # Equal-power scenario → the e4 schedule's envelope (signal
-        # eigenvalue spread ≲ 2) applies with margin; the package
-        # DEFAULT is the imbalance-robust e1 (docs/ACCURACY.md
-        # "Source power imbalance").
-        power_schedule="e4", power_iters=8)
+        # e1 + MGS orthonormalization: the fastest schedule AND the
+        # imbalance-robust one (exp_mgs.py, r2 s4) — the bench now runs
+        # exactly the package default.
+        power_schedule="e1", power_iters=8)
     # Production streaming shape: peaks out, spectra stay on-device
     # (on the pallas path the spectrum never leaves VMEM at all).
     pipe = build_pipeline_tpu(cfg, return_spectra=False)

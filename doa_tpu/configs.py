@@ -184,20 +184,17 @@ class DoaConfig:
     subspace_method: str = "power"
     power_iters: int = 8              # EFFECTIVE iteration count for "power"
     # Power-iteration schedule: how many repeated-squaring passes build
-    # the per-round apply matrix E^(2^s). A measured ROBUSTNESS dial
-    # (ops.cpx_ops.signal_subspace_from_E_T): between orthonormalizations
-    # the basis conditioning grows as spread^(2^s) (spread = signal-
-    # eigenvalue ratio ≈ source power ratio) and the orthonormalizer
-    # handles conditioning ≈ spread^(2^(s+1)) ≤ ~500, so
-    #   "e1" — DEFAULT: safe to ~10 dB source power imbalance (spread
-    #          ~20); matches exact eigh on every preset scenario;
-    #   "e2" — ~1.6× faster subspace stage, equal-power workloads
-    #          (spread ≲ 5);
-    #   "e4" — fastest (2.2× vs e1), strictly equal-power (spread ≲ 2);
-    #          the bench's explicitly-chosen mode.
-    # Beyond the envelope enable subspace_check (per-window eigh repair)
-    # or subspace_method="eigh". Measured: docs/ACCURACY.md imbalance
-    # table; regression: tests/test_power_subspace.py.
+    # the per-round apply matrix E^(2^s). Under the MGS orthonormalizer
+    # (r2 s4, exp_mgs.py) "e1" is BOTH the fastest and the most robust
+    # schedule — exact on planted spectra through eigenvalue spread 10⁴
+    # (~40 dB source power imbalance), 5.8 ms vs NS-e1's 20.7 at the
+    # headline shape — so the old speed-vs-robustness dial is gone.
+    # squarings > 0 remain a documented CORRECTNESS hazard with no speed
+    # reward (conditioning grows spread^(2^s) between orths; "e4" loses
+    # a −20 dB source) — kept for the config surface and regression
+    # tests. Beyond any envelope enable subspace_check (per-window eigh
+    # repair) or subspace_method="eigh".
+    # Measured: docs/ACCURACY.md; regression: tests/test_power_subspace.py.
     power_schedule: str = "e1"
     # Power-iteration hardening: compute the per-window invariance
     # residual of the iterated subspace and fall back to exact eigh for

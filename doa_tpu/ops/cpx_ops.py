@@ -212,11 +212,66 @@ def signal_subspace_from_E(E, num_sources: int, iters: int = 8,
         -1, -2)
 
 
+def _mgs_rows(Vt, passes: int = 1):
+    """Modified Gram-Schmidt over the K2 transposed rows of
+    Vt: f32[B, K2, 2N] — exact sequential deflation. The weak
+    direction survives ANY eigenvalue spread (it is orthogonalized
+    against the strong rows exactly, not through a near-singular Gram),
+    and the unrolled K2²/2 dot+axpy chain over (B, 2N) tensors moves
+    ~12× less HBM than the packed Newton-Schulz chain it replaced."""
+    K2 = Vt.shape[-2]
+    rows = []
+    for i in range(K2):
+        v = Vt[..., i, :]
+        for _ in range(passes):
+            for u in rows:
+                v = v - jnp.sum(u * v, -1, keepdims=True) * u
+        v = v * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(v * v, -1, keepdims=True), 1e-30))
+        rows.append(v)
+    return jnp.stack(rows, axis=-2)
+
+
+def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int):
+    """MGS-orthonormalized subspace iteration (the r2-s4 measured
+    winner): 5.8 ms vs 20.7 (NS e1@8) / 9.6 (NS e4@8) at the headline
+    shape, AND robust — planted-spectrum bad-rate 0 through eigenvalue
+    spread 10⁴ at squarings=0 (the NS schedule's envelope was ≲20), so
+    the speed-vs-imbalance power-schedule dial collapses: e1 is both
+    the fastest and the most robust schedule under MGS. squarings > 0
+    still narrows the envelope (conditioning grows spread^(2^s) between
+    orths — measured: mgs_e4 breaks by spread 100) and no longer buys
+    speed; kept for the config surface."""
+    K2 = 2 * num_sources
+    n2 = E.shape[-1]
+    tr = jnp.einsum("bii->b", E)[:, None, None] / n2
+    Ep = E / jnp.maximum(tr, 1e-30)
+    for _ in range(squarings):
+        Ep = jnp.einsum("bij,bjk->bik", Ep, Ep,
+                        preferred_element_type=jnp.float32)
+    Vt = _mgs_rows(Ep[..., :K2, :])
+    rounds = max(1, iters // (1 << squarings))
+    for r in range(rounds - 1):
+        Vt = _mgs_rows(
+            jnp.einsum("bkn,bnm->bkm", Vt, Ep,
+                       preferred_element_type=jnp.float32),
+            passes=2 if r == rounds - 2 else 1)
+    return Vt
+
+
 def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
                              ns_iters: int = 12, ns_iters_mid: int = 8,
-                             squarings: int = 0, pack: int = 4):
+                             squarings: int = 0, pack: int = 4,
+                             orth: str = "mgs"):
     """Embedded signal subspace in TRANSPOSED layout: Vt f32[B, 2K, 2N]
-    with Vt·Vtᵀ = I — the production fast form. Two TPU-shaping facts:
+    with Vt·Vtᵀ = I — the production fast form.
+
+    orth="mgs" (default, r2-s4): per-round modified Gram-Schmidt —
+    measured 3.6× faster than the packed-NS chain AND robust at any
+    source power imbalance (see _subspace_E_T_mgs); "ns" keeps the
+    packed Newton-Schulz chain (the r2-s3 production path) for
+    comparison. Everything below this docstring describes the NS
+    variant. Two TPU-shaping facts:
 
     * **Repeated squaring, schedule-selectable.** `squarings` batched
       full-width squaring passes build Ep = E^(2^squarings); each round
@@ -260,6 +315,8 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
     Matmul precision note: the chain must run at ≥ tensorfloat32
     (bf16×3) — single-pass-bf16 Grams make the iteration converge to
     wrong subspaces on structured signals (docs/PERF.md)."""
+    if orth == "mgs":
+        return _subspace_E_T_mgs(E, num_sources, iters, squarings)
     K2 = 2 * num_sources
     PACK = pack
 
