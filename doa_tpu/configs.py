@@ -269,10 +269,10 @@ class DoaConfig:
                 f"wideband.fusion {self.wideband.fusion!r} not "
                 "'incoherent' | 'cssm' | 'cssm_auto'")
         if (self.wideband.fusion == "cssm_auto"
-                and self.geometry.kind != "ula"):
+                and self.geometry.kind == "ura" and self.grid2d is None):
             raise ValueError(
-                "fusion='cssm_auto' (two-pass runtime focusing) is "
-                "ULA-only; use the static 'cssm' for planar arrays")
+                "fusion='cssm_auto' on a planar array needs grid2d "
+                "(the coarse pass scans the 2-D az/el grid)")
         if self.wideband.num_focus_angles < 0:
             raise ValueError("wideband.num_focus_angles must be >= 0")
         if self.beamspace.enabled:

@@ -271,6 +271,25 @@ def polar_unitary_cpx(M: Cpx, iters: int = 20, eps: float = 1e-4) -> Cpx:
         return T
 
 
+def device_ura_steering_cpx(az_deg, el_deg, shape,
+                            spacings) -> Cpx:
+    """URA steering at RUNTIME (az, el) pairs, split-complex:
+    az/el (J,) device degrees × spacings (S,) → Cpx[S, J, N]
+    (x-major flattening, matching ops.steering.ura_steering)."""
+    from doa_tpu.cpx import expj
+    az = jnp.deg2rad(az_deg)
+    el = jnp.deg2rad(el_deg)
+    ux = jnp.cos(el) * jnp.sin(az)                  # (J,)
+    uy = jnp.cos(el) * jnp.cos(az)
+    nx, ny = shape
+    ix = jnp.arange(nx, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(ny, dtype=jnp.float32)[None, :]
+    grid = (ux[:, None, None] * ix + uy[:, None, None] * iy)  # (J,nx,ny)
+    ph = (-2.0 * jnp.pi) * (jnp.asarray(spacings)[:, None, None]
+                            * grid.reshape(grid.shape[0], -1)[None])
+    return expj(ph)
+
+
 def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
                                 cfg: DoaConfig,
                                 sector_halfwidth_deg: float = 2.0,
@@ -304,22 +323,44 @@ def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
         return P / jnp.max(P, axis=-1, keepdims=True)
 
     P = jnp.mean(jax.vmap(spec_one)(V, A_stack), axis=0)  # (1, G)
-    _, th = find_local_max(P, cfg.num_sources,
-                           cfg.grid.lo_deg, cfg.grid.hi_deg)
-    offs = jnp.asarray([-sector_halfwidth_deg, 0.0,
-                        sector_halfwidth_deg], jnp.float32)
-    sector = (th[0][:, None] + offs[None, :]).reshape(-1)  # (3K,)
-    uni = jnp.asarray(np.asarray(
-        focusing_directions(cfg), np.float32))             # (J0,)
-    dirs = jnp.concatenate([sector, uni])
-    wts = jnp.concatenate(
-        [jnp.full(sector.shape, sector_weight, jnp.float32),
-         jnp.ones(uni.shape, jnp.float32)])
-    N = cfg.geometry.num_elements
+    hw = sector_halfwidth_deg
     spac = np.concatenate(
         [[cfg.geometry.norm_spacing],
          subband_spacings(cfg)]).astype(np.float32)
-    A_all = device_ula_steering_cpx(dirs, N, spac)        # (F+1, J, N)
+    if cfg.geometry.kind == "ura":
+        from doa_tpu.ops.peaks import find_local_max_2d
+        g2 = cfg.grid2d
+        P2 = P.reshape(1, g2.num_az, g2.num_el)
+        _, azp, elp = find_local_max_2d(
+            P2, cfg.num_sources, (g2.az_lo_deg, g2.az_hi_deg),
+            (g2.el_lo_deg, g2.el_hi_deg))
+        offs = [(0.0, 0.0), (hw, 0.0), (-hw, 0.0),
+                (0.0, hw), (0.0, -hw)]                     # 5 per source
+        sec_az = jnp.concatenate([azp[0] + da for da, _ in offs])
+        sec_el = jnp.concatenate([elp[0] + de for _, de in offs])
+        uni_az, uni_el = focusing_directions(cfg)
+        dirs_az = jnp.concatenate(
+            [sec_az, jnp.asarray(uni_az.astype(np.float32))])
+        dirs_el = jnp.concatenate(
+            [sec_el, jnp.asarray(uni_el.astype(np.float32))])
+        wts = jnp.concatenate(
+            [jnp.full(sec_az.shape, sector_weight, jnp.float32),
+             jnp.ones(len(uni_az), jnp.float32)])
+        A_all = device_ura_steering_cpx(
+            dirs_az, dirs_el, cfg.geometry.shape, spac)   # (F+1, J, N)
+    else:
+        _, th = find_local_max(P, cfg.num_sources,
+                               cfg.grid.lo_deg, cfg.grid.hi_deg)
+        offs = jnp.asarray([-hw, 0.0, hw], jnp.float32)
+        sector = (th[0][:, None] + offs[None, :]).reshape(-1)  # (3K,)
+        uni = jnp.asarray(np.asarray(
+            focusing_directions(cfg), np.float32))             # (J0,)
+        dirs = jnp.concatenate([sector, uni])
+        wts = jnp.concatenate(
+            [jnp.full(sector.shape, sector_weight, jnp.float32),
+             jnp.ones(uni.shape, jnp.float32)])
+        N = cfg.geometry.num_elements
+        A_all = device_ula_steering_cpx(dirs, N, spac)    # (F+1, J, N)
     B0w = Cpx(A_all.re[0] * wts[:, None], A_all.im[0] * wts[:, None])
     Bf = Cpx(A_all.re[1:], A_all.im[1:])
     M = cpx_einsum("jn,fjm->fnm", B0w, Bf.conj())         # B₀ diag(w) B_fᴴ

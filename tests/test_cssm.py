@@ -234,13 +234,41 @@ def test_auto_focus_beats_or_matches_static_at_large_fbw():
     assert e_auto <= e_static + 0.1, (e_auto, e_static)
 
 
-def test_cssm_auto_requires_ula():
+def test_cssm_auto_ura_2d():
+    """Planar auto-focus: 2-D coarse pass → runtime URA steering →
+    NS polar — config-5-shaped scenario at fractional bw 0.4."""
+    from doa_tpu.configs import GridSpec2D
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ura", num_elements=64,
+                               shape=(8, 8), norm_spacing=0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid2d=GridSpec2D(num_az=61, az_lo_deg=-60.0, az_hi_deg=60.0,
+                          num_el=31, el_lo_deg=10.0, el_hi_deg=80.0),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.4,
+                              fusion="cssm_auto"),
+        num_max_vals=2)
+    x = synth_wideband_ura_iq(
+        [SourceSpec(theta_deg=0.0, az_deg=-20.0, el_deg=30.0,
+                    freq_norm=0.0, bandwidth_norm=0.4),
+         SourceSpec(theta_deg=0.0, az_deg=35.0, el_deg=60.0,
+                    freq_norm=0.0, bandwidth_norm=0.4)],
+        (8, 8), 0.5, 16 * 1024, fractional_bw=0.4, snr_db=10, seed=5)
+    res = build_pipeline_tpu(cfg)(x)
+    got = np.asarray(res.peak_angles["music"])       # (B, k, 2) az/el
+    med = np.median(got, axis=0)
+    med = med[np.argsort(med[:, 0])]
+    np.testing.assert_allclose(med[0], [-20.0, 30.0], atol=2.0)
+    np.testing.assert_allclose(med[1], [35.0, 60.0], atol=2.0)
+
+
+def test_cssm_auto_ura_requires_grid2d():
     import pytest
 
-    with pytest.raises(ValueError, match="ULA-only"):
+    with pytest.raises(ValueError, match="grid2d"):
         DoaConfig(
             geometry=ArrayGeometry(kind="ura", num_elements=16,
                                    shape=(4, 4), norm_spacing=0.5),
             snapshot_size=256, num_sources=2,
-            grid2d=GridSpec2D(),
             wideband=WidebandSpec(num_subbands=8, fusion="cssm_auto"))
