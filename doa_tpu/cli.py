@@ -39,6 +39,10 @@ def _add_common(p):
                    help="enable the power-iteration guard "
                         "(residual/orthonormality/capture-gap + eigh "
                         "fallback)")
+    p.add_argument("--num-sources", default=None,
+                   help="override K, or 'auto' (MDL on the capture's "
+                        "leading windows' covariance eigenvalues — "
+                        "ops/model_order.py)")
     p.add_argument("--power-schedule", default=None,
                    choices=["e1", "e2", "e4"],
                    help="power-iteration squaring schedule: speed vs "
@@ -74,7 +78,30 @@ def _config(args):
     if getattr(args, "wideband_fusion", None):
         cfg = dataclasses.replace(cfg, wideband=dataclasses.replace(
             cfg.wideband, fusion=args.wideband_fusion))
+    ns = getattr(args, "num_sources", None)
+    if ns and ns != "auto":
+        cfg = dataclasses.replace(cfg, num_sources=int(ns))
     return cfg
+
+
+def _auto_num_sources(cfg, x, criterion: str = "mdl",
+                      max_windows: int = 32):
+    """Estimate K from the capture's first windows (AIC/MDL on the
+    sample-covariance eigenvalues — ops/model_order.py) and return the
+    config rebuilt with it. Host-side: K is jit-static, so this runs
+    BEFORE the pipeline is built (the reference's num_targets is a
+    block constructor arg for the same reason — SURVEY §2.1 C2)."""
+    from doa_tpu.cpx import Cpx
+    from doa_tpu.ops.covariance import cov_from_stream
+    from doa_tpu.ops.model_order import estimate_num_sources
+
+    S = cfg.snapshot_size
+    T = min(x.shape[0], max_windows * S)
+    R = cov_from_stream(np.asarray(x[:T]).astype(np.complex64), S, 0)
+    k = estimate_num_sources(Cpx.from_complex(R), S,
+                              criterion=criterion)
+    k_med = max(1, int(np.median(np.asarray(k))))
+    return dataclasses.replace(cfg, num_sources=k_med), k_med
 
 
 def cmd_simulate(args):
@@ -115,8 +142,13 @@ def cmd_estimate(args):
     corr = None
     if args.calib:
         corr = load_calibration(args.calib).correction_vector()
+    auto_k = None
+    if getattr(args, "num_sources", None) == "auto":
+        cfg, auto_k = _auto_num_sources(cfg, x)
     res = build_pipeline_tpu(cfg)(x, correction=corr)
     out = {}
+    if auto_k is not None:
+        out["num_sources_auto"] = auto_k
     for est, ang in res.peak_angles.items():
         a = np.asarray(ang)
         # Peak ORDER is by spectrum value and varies per window; sort each

@@ -308,9 +308,6 @@ def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
     actually are, which is what holds the coherent envelope at large
     fractional bandwidths (the FOV-uniform fit dilutes as the manifold
     bends — see tests/test_cssm.py auto-vs-static sweep)."""
-    from doa_tpu.cpx import einsum as cpx_einsum
-    from doa_tpu.ops.peaks import find_local_max
-
     R_sub = subband_covariances(x, W, cfg)               # (F, B, N, N)
     Rbar = Cpx(jnp.mean(R_sub.re, axis=1), jnp.mean(R_sub.im, axis=1))
     V = cpx_ops.signal_subspace_embedded(
@@ -323,10 +320,32 @@ def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
         return P / jnp.max(P, axis=-1, keepdims=True)
 
     P = jnp.mean(jax.vmap(spec_one)(V, A_stack), axis=0)  # (1, G)
-    hw = sector_halfwidth_deg
     spac = np.concatenate(
         [[cfg.geometry.norm_spacing],
          subband_spacings(cfg)]).astype(np.float32)
+    T_foc = runtime_focusing_cpx(P, cfg, spac,
+                                 sector_halfwidth_deg, sector_weight)
+    TR = cpx_ops_einsum("fnm,fbmk->fbnk", T_foc, R_sub)
+    R_foc = cpx_ops_einsum("fbnk,fmk->fbnm", TR, T_foc.conj())
+    return Cpx(jnp.mean(R_foc.re, axis=0), jnp.mean(R_foc.im, axis=0))
+
+
+def runtime_focusing_cpx(P, cfg: DoaConfig, spacings,
+                         sector_halfwidth_deg: float = 2.0,
+                         sector_weight: float = 2.0) -> Cpx:
+    """Coarse fused spectrum P: f32[1, G] → unitary focusing matrices
+    Cpx[len(spacings)−1, N, N] for spacings[1:] (spacings[0] is the
+    reference). The shared pass-2 of the two-pass CSSM: peak the coarse
+    spectrum (1-D or 2-D per cfg), build the weighted direction set
+    (estimated sector + static FOV fill), synthesize steering at
+    runtime angles, Newton-Schulz polar. Also the sharded EP path's
+    per-device focusing (each device passes only ITS subband
+    spacings)."""
+    from doa_tpu.cpx import einsum as cpx_einsum
+    from doa_tpu.ops.peaks import find_local_max
+
+    hw = sector_halfwidth_deg
+    spac = spacings
     if cfg.geometry.kind == "ura":
         from doa_tpu.ops.peaks import find_local_max_2d
         g2 = cfg.grid2d
@@ -364,10 +383,7 @@ def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
     B0w = Cpx(A_all.re[0] * wts[:, None], A_all.im[0] * wts[:, None])
     Bf = Cpx(A_all.re[1:], A_all.im[1:])
     M = cpx_einsum("jn,fjm->fnm", B0w, Bf.conj())         # B₀ diag(w) B_fᴴ
-    T_foc = polar_unitary_cpx(M)
-    TR = cpx_ops_einsum("fnm,fbmk->fbnk", T_foc, R_sub)
-    R_foc = cpx_ops_einsum("fbnk,fmk->fbnm", TR, T_foc.conj())
-    return Cpx(jnp.mean(R_foc.re, axis=0), jnp.mean(R_foc.im, axis=0))
+    return polar_unitary_cpx(M)
 
 
 def cssm_covariance_cpx(x: Cpx, W: Cpx, T_foc: Cpx,
@@ -424,20 +440,26 @@ def wideband_music_hierarchical_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
     is_2d = grid2d is not None
 
     def fused_metric(theta=None, az=None, el=None):
-        """Mean over subbands of den_min_f / den_f(angle) ∈ (0, 1]."""
-        if is_2d:
-            den = jax.vmap(
-                lambda v, d: ura_denominator_at(
-                    v, az, el, cfg.geometry.shape, d),
-                in_axes=(0, 0))(V, spac)             # (F, B, ...)
-        else:
-            den = jax.vmap(
-                lambda v, d: ula_denominator_at(v, theta, d),
-                in_axes=(0, 0))(V, spac)
-        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
-        extra = (1,) * (den.ndim - 2)
-        return jnp.mean(den_min.reshape(den_min.shape + extra) / den,
-                        axis=0)                      # (B, ...)
+        """Mean over subbands of den_min_f / den_f(angle) ∈ (0, 1].
+
+        Sequential per subband (lax.map, NOT vmap): the micro-grid
+        steering sin/cos intermediates are (B, k, Wp, Wp, 2N)-sized —
+        vmapping F subbands materialized 2×12.75 GB padded at the c5
+        production batch (OOM on a 16 GB chip); mapping keeps one
+        subband in flight (identical math, and the refinement is a
+        trivial fraction of the pipeline's time)."""
+        def one(args):
+            v, d, dm = args
+            if is_2d:
+                den = ura_denominator_at(v, az, el,
+                                         cfg.geometry.shape, d)
+            else:
+                den = ula_denominator_at(v, theta, d)
+            den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return dm.reshape(dm.shape + (1,) * (den.ndim - 1)) / den
+
+        ratios = jax.lax.map(one, (V, spac, den_min))  # (F, B, ...)
+        return jnp.mean(ratios, axis=0)                # (B, ...)
 
     if is_2d:
         P2 = fused.reshape(fused.shape[0], grid2d.num_az, grid2d.num_el)

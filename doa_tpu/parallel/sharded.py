@@ -137,11 +137,6 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     stack), and the incoherent fusion is one psum over that axis —
     comm volume O(B·G) per device, independent of F."""
     if cfg.wideband.enabled:
-        if cfg.wideband.fusion == "cssm_auto":
-            raise NotImplementedError(
-                "sharded wideband supports fusion='incoherent'/'cssm'; "
-                "runtime auto-focusing is single-program for now "
-                "(use pipeline_tpu, or static 'cssm' here)")
         return _build_sharded_wideband(cfg, mesh, refine_peaks)
     if cfg.beamspace.enabled:
         raise NotImplementedError(
@@ -343,7 +338,7 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
     narrowband scan of R_coh (grid-sharded steering + O(k) local-peak
     merge) — the coherent fusion point is a single N×N psum, after
     which the axis would otherwise idle."""
-    if cfg.wideband.fusion == "cssm":
+    if cfg.wideband.fusion in ("cssm", "cssm_auto"):
         return _build_sharded_cssm(cfg, mesh, refine_peaks)
     from doa_tpu.ops.wideband import (
         dft_matrix, wideband_steering_stack)
@@ -478,7 +473,15 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
 def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
                         refine_peaks: bool = True):
     """EP→TP coherent wideband: subband-sharded focused covariances,
-    psum-fused R_coh, grid-sharded narrowband MUSIC scan."""
+    psum-fused R_coh, grid-sharded narrowband MUSIC scan.
+
+    fusion="cssm_auto" replaces the static host focusing matrices with
+    the two-pass runtime flow, kept EP-sharded end to end: each device
+    computes its local subbands' coarse spectra (vs its slice of the
+    per-subband steering stack), ONE psum fuses the coarse spectrum (it
+    is replicated, so every device finds the SAME peak angles), and
+    each device then runs the runtime-focusing pass-2 (steering synth +
+    NS polar) for only ITS subbands."""
     from doa_tpu.ops.wideband import dft_matrix, focusing_matrices
 
     A_host, x_rng = _steering_matrix(cfg)
@@ -497,8 +500,20 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
         raise ValueError(f"grid size {G} not divisible by TP axis {n_ep}")
     is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
     fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
+    auto = cfg.wideband.fusion == "cssm_auto"
     W_host = dft_matrix(F)
-    T_host = focusing_matrices(cfg)                 # (F, N, N)
+    if auto:
+        from doa_tpu.ops.wideband import (subband_spacings,
+                                          wideband_steering_stack)
+        from doa_tpu.pipeline import _steering_fn
+        As_host = wideband_steering_stack(cfg, _steering_fn(cfg))
+        spac_all = np.asarray(subband_spacings(cfg), np.float32)  # (F,)
+        d0 = np.float32(cfg.geometry.norm_spacing)
+        # extra args reuse the (Tr, Ti) slots with the F-sharded
+        # per-subband steering stack planes (F_loc, G_full, N)
+        T_host = As_host
+    else:
+        T_host = focusing_matrices(cfg)             # (F, N, N)
 
     def shard_fn(xr, xi, cr, ci, Wr, Wi, Tr, Ti, Ar, Ai):
         from doa_tpu.ops.wideband import channelize_cpx
@@ -515,7 +530,37 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
 
         R = jax.vmap(cov_one)(xs)                       # (F_loc, B, N, N)
         R = cpx_ops.apply_correction_to_cov(R, Cpx(cr, ci))
-        Tf = Cpx(Tr, Ti)                                # (F_loc, N, N)
+        if auto:
+            from doa_tpu.ops.wideband import runtime_focusing_cpx
+            # pass 1, EP-sharded: local coarse spectra vs the LOCAL
+            # slice of the subband steering stack; psum over the TIME
+            # axis too so every device sees the capture-global mean
+            # covariance (the coarse estimate uses the whole capture).
+            Rbar = Cpx(jax.lax.psum(jnp.mean(R.re, axis=1), SNAP_AXIS),
+                       jax.lax.psum(jnp.mean(R.im, axis=1), SNAP_AXIS))
+            n_t = jnp.float32(mesh.shape[SNAP_AXIS])
+            Rbar = Cpx(Rbar.re / n_t, Rbar.im / n_t)    # (F_loc, N, N)
+            Vb = cpx_ops.signal_subspace_embedded(
+                Rbar, cfg.num_sources, iters=max(cfg.power_iters, 16))
+
+            def spec_one(v, Af):
+                den = jnp.maximum(
+                    cpx_ops.music_denominator_subspace(v[None], Af),
+                    0.0)
+                Pl = 1.0 / jnp.maximum(den,
+                                       jnp.finfo(jnp.float32).tiny)
+                return Pl / jnp.max(Pl, axis=-1, keepdims=True)
+
+            A_loc = Cpx(Tr, Ti)                         # (F_loc, G, N)
+            P1 = jnp.sum(jax.vmap(spec_one)(Vb, A_loc), axis=0)
+            P1 = jax.lax.psum(P1, GRID_AXIS) / F        # (1, G) replicated
+            spac_loc = jnp.concatenate(
+                [jnp.asarray([d0]),
+                 jax.lax.dynamic_slice_in_dim(
+                     jnp.asarray(spac_all), ep * F_loc, F_loc)])
+            Tf = runtime_focusing_cpx(P1, cfg, spac_loc)  # (F_loc, N, N)
+        else:
+            Tf = Cpx(Tr, Ti)                            # (F_loc, N, N)
         TR = cpx_einsum("fnm,fbmk->fbnk", Tf, R)
         Rfoc = cpx_einsum("fbnk,fmk->fbnm", TR, Tf.conj())
         # EP fusion: ONE psum of the local focused sum → R_coh.

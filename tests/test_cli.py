@@ -108,3 +108,21 @@ def test_cli_mode_overrides(tmp_path, capsys):
                "--subspace-check")
     a = sorted(res["music"]["median_angles_deg"])
     assert abs(a[0] - 60) < 1.0 and abs(a[1] - 110) < 1.0
+
+
+def test_cli_auto_num_sources(tmp_path, capsys):
+    """--num-sources auto: MDL on the capture's leading windows picks
+    K (here 3 against a 2-source preset) before the pipeline builds."""
+    cap = str(tmp_path / "cap3.npz")
+    _run(capsys, "simulate", "--preset", "c2_ula8_2src",
+         "--angles", "50,90,130", "--samples", str(16 * 2048),
+         "--out", cap)
+    res = _run(capsys, "estimate", "--preset", "c2_ula8_2src",
+               "--input", cap, "--num-sources", "auto")
+    assert res["num_sources_auto"] == 3
+    a = sorted(res["music"]["median_angles_deg"])
+    assert len(a) == 2  # num_max_vals unchanged — peaks list length
+    # explicit integer override composes too
+    res2 = _run(capsys, "estimate", "--preset", "c2_ula8_2src",
+                "--input", cap, "--num-sources", "3")
+    assert "num_sources_auto" not in res2

@@ -223,7 +223,7 @@ def test_sharded_new_estimators_parity():
 
 
 def test_sharded_rejects_unsupported_compositions():
-    from doa_tpu.configs import BeamspaceSpec, WidebandSpec
+    from doa_tpu.configs import BeamspaceSpec
 
     mesh = make_mesh(MeshSpec(4, 2))
     cfg_bs = dataclasses.replace(
@@ -231,8 +231,36 @@ def test_sharded_rejects_unsupported_compositions():
         beamspace=BeamspaceSpec(num_beams=4))
     with pytest.raises(NotImplementedError, match="beamspace"):
         build_sharded_pipeline(cfg_bs, mesh)
-    cfg_wa = dataclasses.replace(
-        CFG, overlap=0, estimators=(Estimator.MUSIC,),
-        wideband=WidebandSpec(num_subbands=8, fusion="cssm_auto"))
-    with pytest.raises(NotImplementedError, match="auto"):
-        build_sharded_pipeline(cfg_wa, mesh)
+
+
+def test_sharded_cssm_auto_parity():
+    """EP-sharded two-pass auto-focused CSSM vs the single-device
+    pipeline: same runtime-estimated focusing (the fused coarse
+    spectrum is psum-replicated, so every device derives identical
+    focusing directions) → same peaks."""
+    from doa_tpu.configs import WidebandSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+
+    cfg = dataclasses.replace(
+        CFG, geometry=ArrayGeometry(kind="ula", num_elements=16,
+                                    norm_spacing=0.5),
+        snapshot_size=512, overlap=0, estimators=(Estimator.MUSIC,),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.3,
+                              fusion="cssm_auto"))
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=65.0, freq_norm=0.0, bandwidth_norm=0.4),
+         SourceSpec(theta_deg=115.0, freq_norm=0.0, bandwidth_norm=0.4)],
+        16, 0.5, 16 * 512, fractional_bw=0.3, snr_db=10, seed=2)
+    mesh = make_mesh(MeshSpec(2, 4))
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+    ref = build_pipeline_tpu(cfg)(x)
+    a_s = np.sort(np.asarray(out["peak_angles_music"]), -1)
+    a_r = np.sort(np.asarray(ref.peak_angles["music"]), -1)
+    # pass-1 coarse covariances differ slightly (sharded pools window
+    # means across time shards exactly like the single program — any
+    # residual is f32 reduction order), so compare peak medians
+    np.testing.assert_allclose(np.median(a_s, 0), np.median(a_r, 0),
+                               atol=0.2)
+    np.testing.assert_allclose(np.median(a_s, 0), [65.0, 115.0],
+                               atol=2.0)
