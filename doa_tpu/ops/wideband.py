@@ -127,9 +127,43 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
 
 def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
     """x: Cpx[T, N], A_stack: Cpx[F, G, N], W: DFT Cpx[F, F] →
-    fused spectrum f32[B, G] (mean of max-normalized subband spectra)."""
-    P_sub, _ = _subband_spectra(x, A_stack, W, cfg)
-    return jnp.mean(P_sub, axis=0)                  # incoherent fusion
+    fused spectrum f32[B, G] (mean of max-normalized subband spectra).
+
+    The fusion accumulates with a lax.scan over subbands instead of
+    materializing the (F, B, G) per-subband spectrum stack — at the c5
+    production shape that stack is 2.2 GB (× passes), the single
+    largest wideband intermediate; the scan's live set is one (B, G)
+    accumulator + one subband's intermediates."""
+    R = subband_covariances(x, W, cfg)               # (F, B, N, N)
+    B = R.shape[1]
+    G = A_stack.shape[1]
+
+    if cfg.subspace_method == "power":
+        V = subband_subspaces(R, cfg)                # (F, B, 2N, 2K)
+
+        def step(acc, vA):
+            v, Ar, Ai = vA
+            den = jnp.maximum(cpx_ops.music_denominator_subspace(
+                v, Cpx(Ar, Ai)), 0.0)
+            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return acc + P / jnp.max(P, axis=-1, keepdims=True), None
+
+        xs = (V, A_stack.re, A_stack.im)
+    else:
+        Mp = jax.vmap(lambda r: cpx_ops.noise_projector_cpx(
+            r, cfg.num_sources))(R)
+
+        def step(acc, vA):
+            mr, mi, Ar, Ai = vA
+            den = cpx_ops.music_denominator_cpx(Cpx(mr, mi),
+                                                Cpx(Ar, Ai))
+            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return acc + P / jnp.max(P, axis=-1, keepdims=True), None
+
+        xs = (Mp.re, Mp.im, A_stack.re, A_stack.im)
+    acc0 = jnp.zeros((B, G), jnp.float32)
+    F = A_stack.shape[0]
+    return jax.lax.scan(step, acc0, xs)[0] / F       # incoherent fusion
 
 
 # ---------------------------------------------------------------------
