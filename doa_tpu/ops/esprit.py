@@ -63,41 +63,42 @@ def _ns_inverse(G: Cpx, iters: int = 16) -> Cpx:
     return X
 
 
+def _mgs_cols_cpx(V: Cpx) -> Cpx:
+    """Complex modified Gram-Schmidt over the K columns of
+    V: Cpx[B, N, K] — exact sequential deflation (the r2-s4 MGS
+    finding applies to the complex iteration too: a Gram-based
+    orthonormalizer loses the weak direction when closely spaced /
+    imbalanced sources make the iterated columns collinear; measured:
+    ESPRIT's resolve probability at sep < 4° went 0.00 → 1.00)."""
+    K = V.shape[-1]
+    cols = []
+    for i in range(K):
+        vr, vi = V.re[..., :, i], V.im[..., :, i]
+        for ur, ui in cols:
+            # <u, v> = Σ conj(u)·v, then v ← v − <u,v>·u
+            dre = jnp.sum(ur * vr + ui * vi, axis=-1, keepdims=True)
+            dim = jnp.sum(ur * vi - ui * vr, axis=-1, keepdims=True)
+            vr = vr - (dre * ur - dim * ui)
+            vi = vi - (dre * ui + dim * ur)
+        inv = jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(vr * vr + vi * vi, axis=-1, keepdims=True), 1e-30))
+        cols.append((vr * inv, vi * inv))
+    return Cpx(jnp.stack([c[0] for c in cols], axis=-1),
+               jnp.stack([c[1] for c in cols], axis=-1))
+
+
 def signal_subspace_cpx(R: Cpx, num_sources: int, iters: int = 16) -> Cpx:
     """Orthonormal COMPLEX signal basis E_s: Cpx[B, N, K] by subspace
     iteration carried in split-complex arithmetic (no embedding — ESPRIT
     needs a complex-paired basis, which the real embedded basis is not).
 
-    Orthonormalization: V ← V·G^{-1/2} with G = VᴴV via the coupled
-    Newton-Schulz square-root iteration on the K×K Hermitian Gram.
-    """
+    Orthonormalization: per-iteration complex modified Gram-Schmidt
+    (see _mgs_cols_cpx; the coupled Newton-Schulz chain it replaced
+    could not recover closely-spaced sources' weak directions)."""
     K = num_sources
-    V = Cpx(R.re[..., :, :K], R.im[..., :, :K])  # columns of R: in span
-
-    def orthonormalize(V: Cpx) -> Cpx:
-        G = _gram(V)
-        k = G.shape[-1]
-        batch = G.shape[:-2]
-        tr = jnp.trace(G.re, axis1=-2, axis2=-1)[..., None, None] / k
-        Gn = Cpx(G.re / tr, G.im / tr)
-        eye = _eye_like(k, batch)
-        Y, Z = Gn, eye
-        for _ in range(5):
-            T = (eye * 3.0 - _mm(Z, Y)) * 0.5
-            Y = _mm(Y, T)
-            Z = _mm(T, Z)
-        return _mm(V, Z) * (1.0 / jnp.sqrt(tr))
-
-    V = orthonormalize(V)
-    for i in range(iters):
-        V = _mm(R, V)
-        if (i + 1) % 2 == 0 or i == iters - 1:
-            V = orthonormalize(V)
-        else:
-            norm = jnp.sqrt(jnp.sum(V.re * V.re + V.im * V.im, axis=-2,
-                                    keepdims=True))
-            V = Cpx(V.re / jnp.maximum(norm, 1e-30),
-                    V.im / jnp.maximum(norm, 1e-30))
+    V = _mgs_cols_cpx(Cpx(R.re[..., :, :K], R.im[..., :, :K]))
+    for _ in range(iters):
+        V = _mgs_cols_cpx(_mm(R, V))
     return V
 
 

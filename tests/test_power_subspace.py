@@ -190,3 +190,30 @@ def test_schedule_envelope_source_imbalance():
     cfg_4 = dataclasses.replace(cfg, power_schedule="e4")
     ang = _run(cfg_4, 20.0)
     assert abs(ang[1] - 110.0) > 0.5, ang
+
+
+def test_near_rayleigh_resolution_mgs():
+    """The r2-s4 threshold fix: at sep = 2° (~1/3 beamwidth, 16-el ULA)
+    the MGS subspace iteration resolves both sources WITHOUT the guard —
+    the old NS orthonormalizer collapsed to one direction below 4°
+    (docs/ACCURACY.md history note). Pins MUSIC (embedded-real MGS) and
+    ESPRIT (complex MGS) together."""
+    import dataclasses
+    from doa_tpu.configs import ArrayGeometry, DoaConfig, GridSpec1D
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC, Estimator.ESPRIT),
+        grid=GridSpec1D(num_points=1024), num_max_vals=2)
+    truth = [89.0, 91.0]
+    x = synth_ula_iq([SourceSpec(theta_deg=truth[0], freq_norm=0.1),
+                      SourceSpec(theta_deg=truth[1], freq_norm=0.3)],
+                     16, 0.5, 16 * 1024, snr_db=10, seed=6)
+    res = build_pipeline_tpu(cfg)(x)
+    mu = np.sort(np.median(np.asarray(res.peak_angles["music"]), 0))
+    es = np.sort(np.median(np.asarray(res.esprit_angles), 0))
+    np.testing.assert_allclose(mu, truth, atol=0.3)
+    np.testing.assert_allclose(es, truth, atol=0.3)
