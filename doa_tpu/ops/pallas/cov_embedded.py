@@ -142,6 +142,52 @@ def _cov_kernel(z_ref, p_ref, wre_ref, wim_ref, e_ref, *, N: int,
         e_ref[c] = jnp.concatenate([top, bot], axis=0)
 
 
+def uhat_windows_to_embedded(Uw, N: int, scale: float, W, fb: bool):
+    """Interleaved-basis window Grams Uw: f32[..., 2N, 2N] → embedded
+    covariance E(R): f32[..., 2N, 2N] with the calibration correction
+    W = (c cᴴ) planes (Wre, Wim) folded in and optional forward-backward
+    averaging — the shared post-transform of the stacked covariance
+    kernels (narrowband and per-subband wideband).
+
+    Basis transform + correction + FB run as batched XLA einsums at
+    tensorfloat32 (value-carrying: single-pass bf16 would round R
+    ~0.4% relative; Mosaic has no 3-pass mode — docs/PERF.md)."""
+    n2 = 2 * N
+    lead = Uw.shape[:-2]
+    Uw = Uw.reshape((-1, n2, n2))
+    Pm_np = _perm_interleaved_to_planar(N)
+    with jax.default_matmul_precision("tensorfloat32"):
+        Jp = np.zeros((n2, n2), np.float32)
+        Jp[:N, N:] = -np.eye(N, dtype=np.float32)
+        Jp[N:, :N] = np.eye(N, dtype=np.float32)
+        M = jnp.asarray(Jp @ Pm_np)
+        P = jnp.asarray(Pm_np)
+        bmm = lambda a, b: jnp.einsum(  # noqa: E731
+            "bij,jk->bik", a, b, preferred_element_type=jnp.float32)
+        lmm = lambda a, b: jnp.einsum(  # noqa: E731
+            "ij,bjk->bik", a, b, preferred_element_type=jnp.float32)
+        E = (lmm(P, bmm(Uw, P.T))
+             + lmm(M, bmm(Uw, M.T))) * scale
+        # correction (c cᴴ)∘R on the embedding:
+        #   E ← E∘T1 + (Fsw E)∘T2 with Fsw E = row-halves swapped
+        T1b = jnp.concatenate(
+            [jnp.concatenate([W[0], W[0]], axis=1)] * 2, axis=0)
+        T2b = jnp.concatenate(
+            [jnp.concatenate([-W[1], -W[1]], axis=1),
+             jnp.concatenate([W[1], W[1]], axis=1)], axis=0)
+        Esw = jnp.concatenate([E[:, N:, :], E[:, :N, :]], axis=1)
+        E = E * T1b[None] + Esw * T2b[None]
+        if fb:
+            # ½(E + X₂ E X₂ᵀ), X₂ = blockdiag(X, −X), X exchange
+            Xex = np.eye(N, dtype=np.float32)[::-1]
+            X2 = np.zeros((n2, n2), np.float32)
+            X2[:N, :N] = Xex
+            X2[N:, N:] = -Xex
+            X2 = jnp.asarray(X2)
+            E = 0.5 * (E + lmm(X2, bmm(E, X2.T)))
+    return E.reshape(lead + (n2, n2))
+
+
 def _cov_kernel_uhat(z_ref, u_ref, *, N: int, hop: int, tp: int,
                      cb: int, compute_dtype):
     """Stacked variant kernel: emits the INTERLEAVED-BASIS chunk Grams
@@ -265,39 +311,7 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
             lo = csum[0:(B - 1) * stride + 1:stride]
             hi = csum[n_win:n_win + (B - 1) * stride + 1:stride]
             Uw = hi - lo
-        # basis transform + correction + FB as batched XLA einsums at
-        # tensorfloat32 (value-carrying: single-pass bf16 would round R
-        # ~0.4% relative; Mosaic has no 3-pass mode — docs/PERF.md).
-        with jax.default_matmul_precision("tensorfloat32"):
-            Jp = np.zeros((n2, n2), np.float32)
-            Jp[:N, N:] = -np.eye(N, dtype=np.float32)
-            Jp[N:, :N] = np.eye(N, dtype=np.float32)
-            M = jnp.asarray(Jp @ Pm_np)
-            P = jnp.asarray(Pm_np)
-            bmm = lambda a, b: jnp.einsum(  # noqa: E731
-                "bij,jk->bik", a, b, preferred_element_type=jnp.float32)
-            lmm = lambda a, b: jnp.einsum(  # noqa: E731
-                "ij,bjk->bik", a, b, preferred_element_type=jnp.float32)
-            E = (lmm(P, bmm(Uw, P.T))
-                 + lmm(M, bmm(Uw, M.T))) * (1.0 / S)
-            # correction (c cᴴ)∘R on the embedding:
-            #   E ← E∘T1 + (Fsw E)∘T2 with Fsw E = row-halves swapped
-            T1b = jnp.concatenate(
-                [jnp.concatenate([W[0], W[0]], axis=1)] * 2, axis=0)
-            T2b = jnp.concatenate(
-                [jnp.concatenate([-W[1], -W[1]], axis=1),
-                 jnp.concatenate([W[1], W[1]], axis=1)], axis=0)
-            Esw = jnp.concatenate([E[:, N:, :], E[:, :N, :]], axis=1)
-            E = E * T1b[None] + Esw * T2b[None]
-            if fb:
-                # ½(E + X₂ E X₂ᵀ), X₂ = blockdiag(X, −X), X exchange
-                Xex = np.eye(N, dtype=np.float32)[::-1]
-                X2 = np.zeros((n2, n2), np.float32)
-                X2[:N, :N] = Xex
-                X2[N:, N:] = -Xex
-                X2 = jnp.asarray(X2)
-                E = 0.5 * (E + lmm(X2, bmm(E, X2.T)))
-        return E
+        return uhat_windows_to_embedded(Uw, N, 1.0 / S, W, fb)
     else:
         E = pl.pallas_call(
             functools.partial(_cov_kernel, N=N, hop=hop, tp=tp, cb=cb,

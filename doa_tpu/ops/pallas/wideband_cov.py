@@ -1,0 +1,210 @@
+"""Wideband fast path: interleaved channelizer + multi-subband Pallas
+covariance kernel (the c5 flagship's hot front-end).
+
+The XLA reference path (ops.wideband.subband_covariances) channelizes
+with a split-complex einsum "ft,mtn->fmn" and vmaps a per-subband
+stacked-Gram covariance — measured 30.7 + 33 ms standalone at the c5
+production shape (both layout-bound, docs/PERF.md "c5 anatomy"). This
+module replaces the pair with:
+
+1. **Channelize as ONE dense matmul in the interleaved layout.** The
+   raw interleaved capture f32[T/tp, 2N·tp] reshaped to frames
+   f32[M, F·2N] (a free, C-order reshape: rows = consecutive complex
+   sample vectors) right-multiplied by a constant channelizer matrix
+   K[t·2N+a, f·2N+b] = Wr[f,t]·δ_ab + Wi[f,t]·Sw[a,b] (Sw = per-pair
+   [[0,1],[-1,0]] — the interleaved "multiply by j" swap) yields the
+   channelized stream Y: f32[M, F·2N] whose column block f is subband
+   f's interleaved sample stream. K is 512×-sparse but the dense MXU
+   product still beats every layout-bound sparse formulation measured
+   (17 ms tf32 vs 30.7 for the einsum; framed/merged variants slower).
+
+2. **Multi-subband Gram kernel over Y's column blocks.** One grid
+   dimension over chunk groups; per program the full-width input block
+   streams into VMEM ONCE (contiguous rows — no per-subband strided
+   re-reads) and each subband's 2N-wide column slice is Gram-ed with
+   the same symmetric bf16 hi/lo split as the narrowband production
+   kernel (~16 input mantissa bits at 2 single-pass MXU dots). At the
+   c5 shape the per-subband width 2N = 128: every dot is full-lane.
+   `sb_group` consolidates adjacent subbands into one (g·2N, g·2N)
+   Gram to trade wasted off-diagonal flops for fewer small-matmul
+   issues (the measured kernel cost currency — docs/PERF.md lesson 2).
+
+Downstream (window prefix-sums, planar/Jp embed, correction fold) is
+shared with the narrowband stacked path (cov_embedded).
+
+Reference semantics: per-subband autocorrelate windows (SURVEY §2.1 C1
+applied per channelizer branch; BASELINE config 5), correction fold
+(C5) via the covariance identity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doa_tpu.ops.pallas.cov_embedded import (
+    interleave_factor, uhat_windows_to_embedded)
+
+
+def channelizer_matrix(F: int, N: int) -> np.ndarray:
+    """(F·2N, F·2N) f32 K with (frames @ K) = channelized-interleaved.
+
+    K[t·2N+a, f·2N+b] = Wr[f,t]·I[a,b] + Wi[f,t]·Sw[a,b], W the F-point
+    DFT (W[f,t] = exp(-2πj·f·t/F), matching ops.wideband.dft_matrix);
+    Sw[2n, 2n+1] = 1, Sw[2n+1, 2n] = -1 so that per complex pair
+    y = Wr·x + Wi·(j-swap of x) reproduces (Wr + jWi)(xr + jxi)."""
+    f = np.arange(F)[:, None]
+    t = np.arange(F)[None, :]
+    Wc = np.exp(-2j * np.pi * f * t / F)
+    eye = np.eye(2 * N, dtype=np.float64)
+    Sw = np.zeros((2 * N, 2 * N), np.float64)
+    n = np.arange(N)
+    Sw[2 * n, 2 * n + 1] = 1.0
+    Sw[2 * n + 1, 2 * n] = -1.0
+    K = (np.einsum("ft,ab->tafb", Wc.real, eye)
+         + np.einsum("ft,ab->tafb", Wc.imag, Sw))
+    return K.reshape(F * 2 * N, F * 2 * N).astype(np.float32)
+
+
+def channelize_frames(xil, K, F: int, N: int, tp: int):
+    """xil: f32[T/tp, 2N·tp] interleaved rows → Y: f32[M, F·2N]
+    channelized-interleaved (column block f = subband f's stream).
+
+    Needs tp | F so whole frames tile the flat sample sequence; the
+    frame reshape is metadata-only. Value-carrying → tensorfloat32."""
+    if F % tp:
+        raise ValueError(f"need TPACK ({tp}) | num_subbands ({F})")
+    rows, width = xil.shape
+    assert width == 2 * N * tp
+    M = (rows * tp) // F
+    xf = xil[: (M * F) // tp].reshape(M, F * 2 * N)
+    with jax.default_matmul_precision("tensorfloat32"):
+        return jnp.dot(xf, K, preferred_element_type=jnp.float32)
+
+
+def _subband_gram_kernel(y_ref, u_ref, *, F: int, n2: int, g: int,
+                         cb: int, sbg: int, compute_dtype):
+    """Per program: cb chunks × F subbands of (g, 2N)ᵀ(g, 2N) Grams,
+    hi/lo split f32 (see cov_embedded._cov_kernel_uhat), consolidated
+    sb_group subbands per MXU dot."""
+    f32 = jnp.float32
+    gram = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)
+    for c in range(cb):
+        rows = slice(c * g, (c + 1) * g)
+        for f0 in range(0, F, sbg):
+            z = y_ref[rows, f0 * n2:(f0 + sbg) * n2]
+            if compute_dtype != f32:
+                zb = z.astype(compute_dtype)
+                U = gram(zb, zb)
+            else:
+                z_hi = z.astype(jnp.bfloat16)
+                z_lo = (z - z_hi.astype(f32)).astype(jnp.bfloat16)
+                hl = gram(z_hi, z_lo)
+                U = gram(z_hi, z_hi) + hl + hl.T
+            for s in range(sbg):
+                u_ref[f0 + s, c * n2:(c + 1) * n2, :] = (
+                    U[s * n2:(s + 1) * n2, s * n2:(s + 1) * n2])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "F", "N", "g", "chunks_per_block", "sb_group", "compute_dtype",
+    "interpret"))
+def subband_grams_pallas(y, *, F: int, N: int, g: int,
+                         chunks_per_block: int | None = None,
+                         sb_group: int = 1,
+                         compute_dtype=jnp.float32,
+                         interpret: bool = False):
+    """y: f32[M, F·2N] channelized-interleaved → unnormalized per-chunk
+    interleaved-basis Grams f32[F, n, 2N, 2N], n = M//g chunks of g
+    subband samples each."""
+    M, width = y.shape
+    n2 = 2 * N
+    assert width == F * n2
+    n = M // g
+    cb = chunks_per_block
+    if cb is None:
+        # in-block (cb·g·F·2N) + out-block (F·cb·2N·2N) both double-
+        # buffered: budget ~6 MB of the ~16 MB VMEM for one buffer set.
+        per_chunk = g * width * 4 + F * n2 * n2 * 4
+        cb = max(1, min(8, (6 << 20) // max(per_chunk, 1)))
+    while n % cb:
+        cb //= 2
+    cb = max(cb, 1)
+    sbg = sb_group
+    while F % sbg:
+        sbg //= 2
+    sbg = max(sbg, 1)
+
+    U = pl.pallas_call(
+        functools.partial(_subband_gram_kernel, F=F, n2=n2, g=g, cb=cb,
+                          sbg=sbg, compute_dtype=compute_dtype),
+        grid=(n // cb,),
+        in_specs=[
+            pl.BlockSpec((cb * g, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, cb * n2, n2), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n * n2, n2), jnp.float32),
+        interpret=interpret,
+    )(y[: n * g])
+    return U.reshape(F, n, n2, n2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "N", "F", "snapshot_size", "overlap", "compute_dtype",
+    "chunks_per_block", "sb_group", "interpret"))
+def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
+                                 snapshot_size: int, overlap: int = 0,
+                                 compute_dtype=jnp.float32,
+                                 chunks_per_block: int | None = None,
+                                 sb_group: int = 1,
+                                 interpret: bool = False):
+    """xil: f32[T/tp, 2N·tp] interleaved capture; K: channelizer matrix
+    (channelizer_matrix(F, N)); cr/ci: f32[N] correction →
+    per-subband embedded covariance windows E_sub: f32[F, B, 2N, 2N]
+    (normalized by S_sub, correction folded per subband — exact: the
+    per-channel correction commutes with the per-channel DFT).
+
+    Framing matches ops.wideband.subband_covariances: subband snapshot
+    S_sub = snapshot_size // F, hop_sub = max(S_sub - overlap // F, 1),
+    windows via gcd-granularity chunk prefix sums (any overlap with
+    g | M)."""
+    S = snapshot_size
+    if S % F:
+        raise ValueError("snapshot_size must be divisible by num_subbands")
+    S_sub = S // F
+    hop_sub = max(S_sub - overlap // F, 1)
+    g = math.gcd(S_sub, hop_sub)
+    tp = interleave_factor(N)
+    Y = channelize_frames(xil, K, F, N, tp)          # (M, F·2N)
+    M = Y.shape[0]
+    n2 = 2 * N
+    U = subband_grams_pallas(
+        Y, F=F, N=N, g=g, chunks_per_block=chunks_per_block,
+        sb_group=sb_group, compute_dtype=compute_dtype,
+        interpret=interpret)                          # (F, n, 2N, 2N)
+    n = U.shape[1]
+    n_win = S_sub // g
+    stride = hop_sub // g
+    B = 0 if M < S_sub else (M - S_sub) // hop_sub + 1
+    if n_win == 1:
+        Uw = U[:, :B]
+    else:
+        csum = jnp.concatenate(
+            [jnp.zeros((F, 1, n2, n2), U.dtype),
+             jnp.cumsum(U, axis=1)], axis=1)
+        lo = csum[:, 0:(B - 1) * stride + 1:stride]
+        hi = csum[:, n_win:n_win + (B - 1) * stride + 1:stride]
+        Uw = hi - lo
+    W = (cr[:, None] * cr[None, :] + ci[:, None] * ci[None, :],
+         ci[:, None] * cr[None, :] - cr[:, None] * ci[None, :])
+    return uhat_windows_to_embedded(Uw, N, 1.0 / S_sub, W, fb=False)

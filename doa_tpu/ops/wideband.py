@@ -100,12 +100,28 @@ def subband_subspaces(R: Cpx, cfg: DoaConfig):
         squarings=cfg.power_squarings))(R)
 
 
-def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
+def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
+    """Pre-embedded per-subband covariances f32[F, B, 2N, 2N] (the
+    wideband Pallas front-end's output) → signal subspaces
+    f32[F, B, 2N, 2K]. Merges the (F, B) axes so the subspace
+    iteration runs one large batch instead of a vmap over subbands."""
+    F, B, n2, _ = E_sub.shape
+    V = cpx_ops.signal_subspace_from_E(
+        E_sub.reshape(F * B, n2, n2), cfg.num_sources,
+        iters=cfg.power_iters, squarings=cfg.power_squarings)
+    return V.reshape(F, B, n2, 2 * cfg.num_sources)
+
+
+def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
+                     E_sub=None):
     """→ (P_sub f32[F, B, G] max-normalized per subband,
-          V f32[F, B, 2N, 2K] | None)."""
-    R = subband_covariances(x, W, cfg)
+          V f32[F, B, 2N, 2K] | None).
+
+    E_sub: optional pre-embedded per-subband covariance windows from
+    the Pallas wideband front-end (x/W unused then)."""
     if cfg.subspace_method == "power":
-        V = subband_subspaces(R, cfg)
+        V = (subband_subspaces_from_E(E_sub, cfg) if E_sub is not None
+             else subband_subspaces(subband_covariances(x, W, cfg), cfg))
 
         def spec_one(v, Af):
             den = jnp.maximum(
@@ -114,6 +130,9 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
             return P / jnp.max(P, axis=-1, keepdims=True)
 
         return jax.vmap(spec_one)(V, A_stack), V
+    from doa_tpu.cpx import unembed_hermitian
+    R = (unembed_hermitian(E_sub) if E_sub is not None
+         else subband_covariances(x, W, cfg))
     M_proj = jax.vmap(
         lambda r: cpx_ops.noise_projector_cpx(r, cfg.num_sources))(R)
 
@@ -125,21 +144,29 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
     return jax.vmap(spec_one)(M_proj, A_stack), None
 
 
-def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
+def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
+                       E_sub=None):
     """x: Cpx[T, N], A_stack: Cpx[F, G, N], W: DFT Cpx[F, F] →
     fused spectrum f32[B, G] (mean of max-normalized subband spectra).
+
+    E_sub: optional pre-embedded per-subband covariances (f32[F, B,
+    2N, 2N]) from the Pallas wideband front-end — x and W are unused
+    then (the fast interleaved-ingest path, ops.pallas.wideband_cov).
 
     The fusion accumulates with a lax.scan over subbands instead of
     materializing the (F, B, G) per-subband spectrum stack — at the c5
     production shape that stack is 2.2 GB (× passes), the single
     largest wideband intermediate; the scan's live set is one (B, G)
     accumulator + one subband's intermediates."""
-    R = subband_covariances(x, W, cfg)               # (F, B, N, N)
-    B = R.shape[1]
+    R = None
+    if E_sub is None:
+        R = subband_covariances(x, W, cfg)           # (F, B, N, N)
+    B = (E_sub if R is None else R.re).shape[1]
     G = A_stack.shape[1]
 
     if cfg.subspace_method == "power":
-        V = subband_subspaces(R, cfg)                # (F, B, 2N, 2K)
+        V = (subband_subspaces_from_E(E_sub, cfg) if R is None
+             else subband_subspaces(R, cfg))         # (F, B, 2N, 2K)
 
         def step(acc, vA):
             v, Ar, Ai = vA
@@ -150,6 +177,9 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig):
 
         xs = (V, A_stack.re, A_stack.im)
     else:
+        if R is None:
+            from doa_tpu.cpx import unembed_hermitian
+            R = unembed_hermitian(E_sub)
         Mp = jax.vmap(lambda r: cpx_ops.noise_projector_cpx(
             r, cfg.num_sources))(R)
 
@@ -327,7 +357,8 @@ def device_ura_steering_cpx(az_deg, el_deg, shape,
 def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
                                 cfg: DoaConfig,
                                 sector_halfwidth_deg: float = 2.0,
-                                sector_weight: float = 2.0) -> Cpx:
+                                sector_weight: float = 2.0,
+                                R_sub: Cpx | None = None) -> Cpx:
     """Two-pass AUTO-FOCUSED CSSM (fusion="cssm_auto"), fully on device.
 
     Pass 1: capture-mean subband covariances → incoherent fused MUSIC
@@ -341,8 +372,11 @@ def auto_focused_covariance_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
     vs the static J=2N set: the fit concentrates where the sources
     actually are, which is what holds the coherent envelope at large
     fractional bandwidths (the FOV-uniform fit dilutes as the manifold
-    bends — see tests/test_cssm.py auto-vs-static sweep)."""
-    R_sub = subband_covariances(x, W, cfg)               # (F, B, N, N)
+    bends — see tests/test_cssm.py auto-vs-static sweep).
+
+    R_sub: optional precomputed subband covariances (x/W unused)."""
+    if R_sub is None:
+        R_sub = subband_covariances(x, W, cfg)           # (F, B, N, N)
     Rbar = Cpx(jnp.mean(R_sub.re, axis=1), jnp.mean(R_sub.im, axis=1))
     V = cpx_ops.signal_subspace_embedded(
         Rbar, cfg.num_sources, iters=max(cfg.power_iters, 16))
@@ -421,10 +455,14 @@ def runtime_focusing_cpx(P, cfg: DoaConfig, spacings,
 
 
 def cssm_covariance_cpx(x: Cpx, W: Cpx, T_foc: Cpx,
-                        cfg: DoaConfig) -> Cpx:
+                        cfg: DoaConfig,
+                        R_sub: Cpx | None = None) -> Cpx:
     """x: Cpx[T, N], W: DFT Cpx[F, F], T_foc: Cpx[F, N, N] →
-    focused coherent covariance Cpx[B, N, N] = mean_f T_f R_f T_fᴴ."""
-    R_sub = subband_covariances(x, W, cfg)           # (F, B, N, N)
+    focused coherent covariance Cpx[B, N, N] = mean_f T_f R_f T_fᴴ.
+
+    R_sub: optional precomputed subband covariances (x/W unused)."""
+    if R_sub is None:
+        R_sub = subband_covariances(x, W, cfg)       # (F, B, N, N)
     TR = cpx_ops_einsum("fnm,fbmk->fbnk", T_foc, R_sub)
     R_foc = cpx_ops_einsum("fbnk,fmk->fbnm", TR, T_foc.conj())
     return Cpx(jnp.mean(R_foc.re, axis=0), jnp.mean(R_foc.im, axis=0))
@@ -442,7 +480,8 @@ def wideband_music_hierarchical_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
                                     cfg: DoaConfig, num_peaks: int,
                                     x_rng=(0.0, 180.0), grid2d=None,
                                     half_width_deg: float = 1.5,
-                                    num_points: int = 17):
+                                    num_points: int = 17,
+                                    E_sub=None):
     """Coarse→refine WIDEBAND MUSIC (power path): fuse the coarse
     subband spectra, find peak basins, then refine each peak on an
     on-device micro-grid of the FUSED metric — every subband's exact
@@ -455,7 +494,7 @@ def wideband_music_hierarchical_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
         ula_denominator_at, ura_denominator_at)
     from doa_tpu.ops.peaks import find_local_max, find_local_max_2d
 
-    P_sub, V = _subband_spectra(x, A_stack, W, cfg)
+    P_sub, V = _subband_spectra(x, A_stack, W, cfg, E_sub=E_sub)
     if V is None:
         raise ValueError("wideband hierarchical requires "
                          "subspace_method='power'")

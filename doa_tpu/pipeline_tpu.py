@@ -144,6 +144,19 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     fast_cov = (cov_impl == "pallas" and not wb
                 and not cfg.smoothing.enabled and use_power
                 and math.gcd(cfg.snapshot_size, cfg.hop) % tp == 0)
+    # Wideband fast path: interleaved ingest → dense-matmul channelizer
+    # → multi-subband Pallas Gram kernel (ops.pallas.wideband_cov). On
+    # real hardware only for 2N ≥ 128 lanes (the c5 production regime —
+    # narrower per-subband column slices don't tile); any N in
+    # interpret mode (tests).
+    wb_fast = (wb and cov_impl == "pallas"
+               and cfg.snapshot_size % cfg.wideband.num_subbands == 0
+               and cfg.wideband.num_subbands % tp == 0
+               and (interp or 2 * N_el >= 128))
+    if wb_fast:
+        from doa_tpu.ops.pallas.wideband_cov import channelizer_matrix
+        wb_ilv_args = (jax.device_put(channelizer_matrix(
+            cfg.wideband.num_subbands, N_el)), wb_args[2], wb_args[3])
     want_unitary = (Estimator.UNITARY_ESPRIT in cfg.estimators
                     and cfg.geometry.kind == "ula")
     need_R = (Estimator.CAPON in cfg.estimators
@@ -479,12 +492,60 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                                     cov_impl=cov_impl, interpret=interp)
         return _estimate(R, None, Ar, Ai)
 
-    def run_ilv(xil, cr, ci, Ar, Ai):
-        """Interleaved-ingest entry (fast path only): xil is the raw
+    def run_ilv(xil, cr, ci, Ar, Ai, *wb_extra):
+        """Interleaved-ingest entry (fast paths only): xil is the raw
         c64 capture buffer viewed as f32[T/TPACK, 2N·TPACK] — zero host
-        preprocessing, no deinterleave pass on device either."""
-        R, E_win = _fast_cov(xil, cr, ci)
-        return _estimate(R, E_win, Ar, Ai)
+        preprocessing, no deinterleave pass on device either. On the
+        wideband fast path wb_extra = (K channelizer, extra_re,
+        extra_im) with extra the steering stack (incoherent/cssm_auto)
+        or focusing matrices (cssm)."""
+        if not wb:
+            R, E_win = _fast_cov(xil, cr, ci)
+            return _estimate(R, E_win, Ar, Ai)
+        from doa_tpu.cpx import unembed_hermitian
+        from doa_tpu.ops.pallas.wideband_cov import (
+            wideband_cov_embedded_pallas)
+        Kd, Xr, Xi = wb_extra
+        E_sub = wideband_cov_embedded_pallas(
+            xil, Kd, cr, ci, N=N_el, F=cfg.wideband.num_subbands,
+            snapshot_size=cfg.snapshot_size, overlap=cfg.overlap,
+            interpret=interp)
+        if wb_cssm or wb_auto:
+            R_sub = unembed_hermitian(E_sub)
+            if wb_auto:
+                from doa_tpu.ops.wideband import (
+                    auto_focused_covariance_cpx)
+                R = auto_focused_covariance_cpx(
+                    None, Cpx(Xr, Xi), None, cfg, R_sub=R_sub)
+            else:
+                from doa_tpu.ops.wideband import cssm_covariance_cpx
+                R = cssm_covariance_cpx(None, None, Cpx(Xr, Xi), cfg,
+                                        R_sub=R_sub)
+            if cfg.avg_method == AvgMethod.FORWARD_BACKWARD:
+                R = cpx_ops.forward_backward_cpx(R)
+            if cfg.smoothing.enabled:
+                R = cpx_ops.spatial_smooth_cpx(
+                    R, cfg.smoothing.subarray_size)
+            return _estimate(R, None, Ar, Ai)
+        from doa_tpu.ops.wideband import (
+            wideband_music_cpx, wideband_music_hierarchical_cpx)
+        spectra, pvals, pangs = {}, {}, {}
+        if scan_mode == "hierarchical" and use_power:
+            v, l = wideband_music_hierarchical_cpx(
+                None, Cpx(Xr, Xi), None, cfg, cfg.num_max_vals,
+                x_rng=x_rng, grid2d=cfg.grid2d if is_2d else None,
+                E_sub=E_sub)
+        else:
+            P = wideband_music_cpx(None, Cpx(Xr, Xi), None, cfg,
+                                   E_sub=E_sub)
+            v, l = _peaks(P)
+            spectra["music"] = P
+        pvals["music"] = v
+        pangs["music"] = l
+        return dict(spectra=spectra, peak_values=pvals,
+                    peak_angles=pangs, root_music_angles=None,
+                    esprit_angles=None, covariance=None,
+                    subspace_residual=None)
 
     from doa_tpu.cpx import f32_matmuls
     run_ilv_py = run_ilv
@@ -568,14 +629,15 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     def call(x, correction=None) -> DoaResult:
         N = cfg.geometry.num_elements
         cr, ci = _correction_planes(N, correction)
-        if (fast_cov and isinstance(x, np.ndarray)
+        if ((fast_cov or wb_fast) and isinstance(x, np.ndarray)
                 and x.dtype == np.complex64):
             # Zero-copy ingest: C-ordered c64 (T, N) IS the interleaved
             # f32 layout — no split_c64, no device-side conversion.
             T = (x.shape[0] // tp) * tp
             xil = np.ascontiguousarray(x[:T]).view(np.float32).reshape(
                 T // tp, 2 * N * tp)
-            out = run_ilv(jnp.asarray(xil), cr, ci, A_re_d, A_im_d)
+            out = run_ilv(jnp.asarray(xil), cr, ci, A_re_d, A_im_d,
+                          *(wb_ilv_args if wb_fast else ()))
             return DoaResult(**out)
         if isinstance(x, Cpx):
             xr, xi = x.re, x.im
@@ -589,17 +651,21 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
 
     def call_interleaved(xil, correction=None) -> DoaResult:
         """xil: f32[T/TPACK, 2N·TPACK] (device or host) — production
-        ingest entry; requires the fused fast path (raises otherwise)."""
-        if not fast_cov:
+        ingest entry; requires a fused fast path (raises otherwise)."""
+        if not (fast_cov or wb_fast):
             raise ValueError("interleaved entry requires the fused "
                              "Pallas path (cov_impl='pallas'/auto on "
                              "TPU, power subspace, no smoothing)")
         cr, ci = _correction_planes(cfg.geometry.num_elements, correction)
         return DoaResult(**run_ilv(jnp.asarray(xil), cr, ci,
-                                   A_re_d, A_im_d))
+                                   A_re_d, A_im_d,
+                                   *(wb_ilv_args if wb_fast else ())))
 
     call.jitted = run
-    call.jitted_ilv = run_ilv if fast_cov else None
+    call.jitted_ilv = run_ilv if (fast_cov or wb_fast) else None
+    call.wb_args = wb_args if wb else None
+    call.wb_ilv_args = wb_ilv_args if wb_fast else None
+    call.wb_fast = wb_fast
     call.interleaved = call_interleaved
     call.scan_capture = scan_capture
     call.fast_path = fast_cov
