@@ -49,7 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from doa_tpu.ops.pallas.cov_embedded import (
-    interleave_factor, uhat_windows_to_embedded)
+    _perm_interleaved_to_planar, interleave_factor,
+    uhat_windows_to_embedded)
 
 
 def channelizer_matrix(F: int, N: int) -> np.ndarray:
@@ -86,6 +87,68 @@ def channelize_frames(xil, K, F: int, N: int, tp: int):
     xf = xil[: (M * F) // tp].reshape(M, F * 2 * N)
     with jax.default_matmul_precision("tensorfloat32"):
         return jnp.dot(xf, K, preferred_element_type=jnp.float32)
+
+
+def _subband_gram_kernel_embedded(y_ref, pm_ref, t1_ref, t2_ref, e_ref,
+                                  *, F: int, n2: int, g: int, cb: int,
+                                  scale: float, compute_dtype):
+    """Per program: cb chunks × F subbands of EMBEDDED covariance
+    chunks E_c = Gram(y P̃ᵀ) + Gram(y M̃ᵀ) with the correction masks and
+    1/S_sub scale folded in-VMEM — no XLA embed stage afterwards.
+
+    P̃ (interleaved→planar) and M̃ = Jp P̃ are SIGNED PERMUTATIONS, so the
+    permute dots are EXACT at DEFAULT (single-pass bf16) precision: the
+    operands are already bf16 (the Gram's hi/lo split planes), the
+    matrix entries are ±1 (exact in bf16), and each output lane is ± one
+    input value — no accumulation, no rounding. pm_ref packs [P̃ᵀ | M̃ᵀ]
+    as (2N, 4N) so one dot per subband per split plane permutes both
+    bases; the two Grams then consolidate as one Gram of the
+    row-stacked (2g, 2N) plane (Gram(y1)+Gram(y2) = Gram([y1; y2])).
+
+    Correction: E ← (E∘T1 + rowswap(E)∘T2)·scale with rowswap = the
+    row-halves swap (see uhat_windows_to_embedded) — elementwise VPU
+    work, linear in E, so it commutes with the window prefix-sums
+    outside."""
+    f32 = jnp.float32
+    N = n2 // 2
+    dperm = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)
+    gram = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)
+    PM = pm_ref[...]
+    T1 = t1_ref[...]
+    T2 = t2_ref[...]
+    z = y_ref[...]                                   # (cb·g, F·2N)
+    if compute_dtype != f32:
+        z_hi = z.astype(compute_dtype)
+        z_lo = None
+    else:
+        z_hi = z.astype(jnp.bfloat16)
+        z_lo = (z - z_hi.astype(f32)).astype(jnp.bfloat16)
+    PMh = PM.astype(z_hi.dtype)       # ±1 exact in bf16/any dtype
+    for f in range(F):
+        sl = slice(f * n2, (f + 1) * n2)
+        y_hi = dperm(z_hi[:, sl], PMh)               # (cb·g, 4N) exact
+        y_lo = dperm(z_lo[:, sl], PMh) if z_lo is not None else None
+        for c in range(cb):
+            rows = slice(c * g, (c + 1) * g)
+            ah = jnp.concatenate(
+                [y_hi[rows, :n2], y_hi[rows, n2:]], axis=0)
+            if y_lo is None:
+                U = gram(ah.astype(compute_dtype),
+                         ah.astype(compute_dtype))
+            else:
+                ah = ah.astype(jnp.bfloat16)
+                al = jnp.concatenate(
+                    [y_lo[rows, :n2], y_lo[rows, n2:]],
+                    axis=0).astype(jnp.bfloat16)
+                hl = gram(ah, al)
+                U = gram(ah, ah) + hl + hl.T
+            Usw = jnp.concatenate([U[N:, :], U[:N, :]], axis=0)
+            e_ref[f, c * n2:(c + 1) * n2, :] = (
+                U * T1 + Usw * T2) * scale
 
 
 def _subband_gram_kernel(y_ref, u_ref, *, F: int, n2: int, g: int,
@@ -160,19 +223,88 @@ def subband_grams_pallas(y, *, F: int, N: int, g: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "F", "N", "g", "scale", "chunks_per_block", "compute_dtype",
+    "interpret"))
+def subband_embedded_pallas(y, cr, ci, *, F: int, N: int, g: int,
+                            scale: float,
+                            chunks_per_block: int | None = None,
+                            compute_dtype=jnp.float32,
+                            interpret: bool = False):
+    """y: f32[M, F·2N] channelized-interleaved → per-chunk EMBEDDED
+    covariance chunks f32[F, n, 2N, 2N] with the correction (c cᴴ) and
+    `scale` folded in-kernel (see _subband_gram_kernel_embedded) —
+    windows are prefix-sums of these chunks (all folds are linear)."""
+    M, width = y.shape
+    n2 = 2 * N
+    assert width == F * n2
+    n = M // g
+    cb = chunks_per_block
+    if cb is None:
+        # in (cb·g·F·2N) + out (F·cb·2N·2N) + hi/lo bf16 planes, all
+        # double-buffered: same ~6 MB budget as the uhat variant.
+        per_chunk = g * width * 6 + F * n2 * n2 * 4
+        cb = max(1, min(8, (6 << 20) // max(per_chunk, 1)))
+    while n % cb:
+        cb //= 2
+    cb = max(cb, 1)
+
+    Pm = _perm_interleaved_to_planar(N)
+    Jp = np.zeros((n2, n2), np.float32)
+    Jp[:N, N:] = -np.eye(N, dtype=np.float32)
+    Jp[N:, :N] = np.eye(N, dtype=np.float32)
+    PM = np.concatenate([Pm.T, (Jp @ Pm).T], axis=1)  # (2N, 4N)
+    Wre = cr[:, None] * cr[None, :] + ci[:, None] * ci[None, :]
+    Wim = ci[:, None] * cr[None, :] - cr[:, None] * ci[None, :]
+    T1 = jnp.concatenate(
+        [jnp.concatenate([Wre, Wre], axis=1)] * 2, axis=0)
+    T2 = jnp.concatenate(
+        [jnp.concatenate([-Wim, -Wim], axis=1),
+         jnp.concatenate([Wim, Wim], axis=1)], axis=0)
+
+    E = pl.pallas_call(
+        functools.partial(_subband_gram_kernel_embedded, F=F, n2=n2,
+                          g=g, cb=cb, scale=scale,
+                          compute_dtype=compute_dtype),
+        grid=(n // cb,),
+        in_specs=[
+            pl.BlockSpec((cb * g, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, 2 * n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, cb * n2, n2), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n * n2, n2), jnp.float32),
+        interpret=interpret,
+    )(y[: n * g], jnp.asarray(PM), T1, T2)
+    return E.reshape(F, n, n2, n2)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "N", "F", "snapshot_size", "overlap", "compute_dtype",
-    "chunks_per_block", "sb_group", "interpret"))
+    "chunks_per_block", "sb_group", "variant", "interpret"))
 def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
                                  snapshot_size: int, overlap: int = 0,
                                  compute_dtype=jnp.float32,
                                  chunks_per_block: int | None = None,
                                  sb_group: int = 1,
+                                 variant: str = "embedded",
                                  interpret: bool = False):
     """xil: f32[T/tp, 2N·tp] interleaved capture; K: channelizer matrix
     (channelizer_matrix(F, N)); cr/ci: f32[N] correction →
     per-subband embedded covariance windows E_sub: f32[F, B, 2N, 2N]
     (normalized by S_sub, correction folded per subband — exact: the
     per-channel correction commutes with the per-channel DFT).
+
+    variant="embedded" (default): the kernel emits embedded, corrected,
+    scaled chunks directly (permute-before-Gram — exact, see kernel
+    docstring); "uhat" keeps the interleaved-basis Gram kernel + XLA
+    embed einsums (the fallback; measured ~35 ms slower at the c5
+    shape — the einsums make 4 tf32 passes over the 2.1 GB stack).
 
     Framing matches ops.wideband.subband_covariances: subband snapshot
     S_sub = snapshot_size // F, hop_sub = max(S_sub - overlap // F, 1),
@@ -188,14 +320,28 @@ def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
     Y = channelize_frames(xil, K, F, N, tp)          # (M, F·2N)
     M = Y.shape[0]
     n2 = 2 * N
+    n_win = S_sub // g
+    stride = hop_sub // g
+    B = 0 if M < S_sub else (M - S_sub) // hop_sub + 1
+    if variant == "embedded":
+        E = subband_embedded_pallas(
+            Y, cr, ci, F=F, N=N, g=g, scale=1.0 / S_sub,
+            chunks_per_block=chunks_per_block,
+            compute_dtype=compute_dtype,
+            interpret=interpret)                      # (F, n, 2N, 2N)
+        if n_win == 1:
+            return E[:, :B]
+        csum = jnp.concatenate(
+            [jnp.zeros((F, 1, n2, n2), E.dtype),
+             jnp.cumsum(E, axis=1)], axis=1)
+        lo = csum[:, 0:(B - 1) * stride + 1:stride]
+        hi = csum[:, n_win:n_win + (B - 1) * stride + 1:stride]
+        return hi - lo
     U = subband_grams_pallas(
         Y, F=F, N=N, g=g, chunks_per_block=chunks_per_block,
         sb_group=sb_group, compute_dtype=compute_dtype,
         interpret=interpret)                          # (F, n, 2N, 2N)
     n = U.shape[1]
-    n_win = S_sub // g
-    stride = hop_sub // g
-    B = 0 if M < S_sub else (M - S_sub) // hop_sub + 1
     if n_win == 1:
         Uw = U[:, :B]
     else:

@@ -24,12 +24,13 @@ from doa_tpu.ops.wideband import dft_matrix, subband_covariances
 from doa_tpu.pipeline_tpu import build_pipeline_tpu
 
 
+@pytest.mark.parametrize("variant", ["embedded", "uhat"])
 @pytest.mark.parametrize("N,F,S,overlap", [
     (4, 16, 256, 0),        # TPACK=16 | F
     (8, 8, 256, 64),        # subband-domain overlap (hop_sub < S_sub)
     (4, 16, 512, 128),
 ])
-def test_subband_cov_parity(N, F, S, overlap):
+def test_subband_cov_parity(N, F, S, overlap, variant):
     rng = np.random.default_rng(0)
     T = 4096
     x = (rng.standard_normal((T, N))
@@ -54,7 +55,8 @@ def test_subband_cov_parity(N, F, S, overlap):
         jnp.asarray(xil), jnp.asarray(channelizer_matrix(F, N)),
         jnp.asarray(c.real.astype(np.float32)),
         jnp.asarray(c.imag.astype(np.float32)),
-        N=N, F=F, snapshot_size=S, overlap=overlap, interpret=True)
+        N=N, F=F, snapshot_size=S, overlap=overlap, variant=variant,
+        interpret=True)
     R = unembed_hermitian(E)
     assert R.re.shape == R_ref.re.shape
     scale = float(jnp.max(jnp.abs(R_ref.re)))
