@@ -151,6 +151,107 @@ def _subband_gram_kernel_embedded(y_ref, pm_ref, t1_ref, t2_ref, e_ref,
                 U * T1 + Usw * T2) * scale
 
 
+def _bitrev(p: int, nbits: int) -> int:
+    r = 0
+    for _ in range(nbits):
+        r = (r << 1) | (p & 1)
+        p >>= 1
+    return r
+
+
+def _wideband_fft_gram_kernel(x_ref, p_ref, t1_ref, t2_ref, e_ref, *,
+                              F: int, n2: int, g: int, cb: int,
+                              scale: float, compute_dtype):
+    """Fully fused wideband front-end: raw interleaved FRAMES →
+    per-chunk embedded subband covariances, one kernel. Replaces the
+    dense channelizer matmul (F× the useful flops — the DFT contracts
+    only over the F time-steps within a frame) AND its 2·M·F·2N·4-byte
+    HBM round trip.
+
+    Per program: (1) planarize each frame's F interleaved 2N-blocks by
+    exact hi/lo permute dots (±1 matrix, DEFAULT precision — see
+    _subband_gram_kernel_embedded); (2) radix-2 DIF FFT across the F
+    tile-blocks in full f32 VPU arithmetic — complex add/sub are
+    whole-tile adds in the planar layout, twiddle muls use the
+    lane-halves swap y↦[−im|re] (= right-mult by Jpᵀ, a concat);
+    (3) per-chunk Grams of the row-stacked [y, y·Jpᵀ] planes (hi/lo
+    split) = the embedded E, correction and scale folded — identical
+    tail to _subband_gram_kernel_embedded. DIF emits subband f at
+    tile position bitrev(f), handled at the output write."""
+    f32 = jnp.float32
+    N = n2 // 2
+    dperm = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)
+    gram = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)
+    jswap = lambda y: jnp.concatenate(  # noqa: E731  — y @ Jpᵀ
+        [-y[:, N:], y[:, :N]], axis=1)
+    Pt = p_ref[...]
+    T1 = t1_ref[...]
+    T2 = t2_ref[...]
+    z = x_ref[...]                                   # (cb·g, F·2N)
+    # planarize: v[t] = exact planar f32 tile of frame time-step t
+    if compute_dtype != f32:
+        zc = z.astype(compute_dtype)
+        Pc = Pt.astype(compute_dtype)
+        v = [dperm(zc[:, t * n2:(t + 1) * n2], Pc) for t in range(F)]
+    else:
+        z_hi = z.astype(jnp.bfloat16)
+        z_lo = (z - z_hi.astype(f32)).astype(jnp.bfloat16)
+        Pb = Pt.astype(jnp.bfloat16)
+        v = [dperm(z_hi[:, t * n2:(t + 1) * n2], Pb)
+             + dperm(z_lo[:, t * n2:(t + 1) * n2], Pb)
+             for t in range(F)]
+    # radix-2 DIF across tile-blocks (unnormalized forward DFT,
+    # W[f,t] = exp(-2πj f t / F) — matches ops.wideband.dft_matrix)
+    m = F
+    while m >= 2:
+        half = m // 2
+        for start in range(0, F, m):
+            for j in range(half):
+                a = v[start + j]
+                b = v[start + j + half]
+                v[start + j] = a + b
+                d = a - b
+                if j == 0:
+                    v[start + j + half] = d
+                else:
+                    ang = -2.0 * np.pi * j / m
+                    wr = float(np.cos(ang))
+                    wi = float(np.sin(ang))
+                    if abs(wr) < 1e-12:          # w = ±j exactly
+                        v[start + j + half] = (
+                            jswap(d) if wi > 0 else -jswap(d))
+                    else:
+                        v[start + j + half] = wr * d + wi * jswap(d)
+        m = half
+    nbits = F.bit_length() - 1
+    for f in range(F):
+        y = v[_bitrev(f, nbits)]                     # subband f, planar
+        if compute_dtype != f32:
+            y_hi = y.astype(compute_dtype)
+            y_lo = None
+        else:
+            y_hi = y.astype(jnp.bfloat16)
+            y_lo = (y - y_hi.astype(f32)).astype(jnp.bfloat16)
+        for c in range(cb):
+            rows = slice(c * g, (c + 1) * g)
+            yh = y_hi[rows]
+            ah = jnp.concatenate([yh, jswap(yh)], axis=0)
+            if y_lo is None:
+                U = gram(ah, ah)
+            else:
+                yl = y_lo[rows]
+                al = jnp.concatenate([yl, jswap(yl)], axis=0)
+                hl = gram(ah, al)
+                U = gram(ah, ah) + hl + hl.T
+            Usw = jnp.concatenate([U[N:, :], U[:N, :]], axis=0)
+            e_ref[f, c * n2:(c + 1) * n2, :] = (
+                U * T1 + Usw * T2) * scale
+
+
 def _subband_gram_kernel(y_ref, u_ref, *, F: int, n2: int, g: int,
                          cb: int, sbg: int, compute_dtype):
     """Per program: cb chunks × F subbands of (g, 2N)ᵀ(g, 2N) Grams,
@@ -285,6 +386,66 @@ def subband_embedded_pallas(y, cr, ci, *, F: int, N: int, g: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "F", "N", "g", "scale", "chunks_per_block", "compute_dtype",
+    "interpret"))
+def subband_fft_embedded_pallas(xf, cr, ci, *, F: int, N: int, g: int,
+                                scale: float,
+                                chunks_per_block: int | None = None,
+                                compute_dtype=jnp.float32,
+                                interpret: bool = False):
+    """xf: f32[M, F·2N] interleaved FRAMES (row m = F consecutive
+    complex sample vectors) → per-chunk embedded covariance chunks
+    f32[F, n, 2N, 2N]: in-kernel radix-2 FFT channelizer + Grams
+    (_wideband_fft_gram_kernel). Requires F a power of two."""
+    M, width = xf.shape
+    n2 = 2 * N
+    assert width == F * n2
+    if F & (F - 1):
+        raise ValueError("fft variant requires power-of-two subbands")
+    n = M // g
+    cb = chunks_per_block
+    if cb is None:
+        # input block + F planar f32 tiles (same total) + hi/lo planes
+        # + out block, double-buffered: same ~6 MB budget discipline.
+        per_chunk = g * width * 12 + F * n2 * n2 * 4
+        cb = max(1, min(8, (6 << 20) // max(per_chunk, 1)))
+    while n % cb:
+        cb //= 2
+    cb = max(cb, 1)
+
+    Pm = _perm_interleaved_to_planar(N)
+    Wre = cr[:, None] * cr[None, :] + ci[:, None] * ci[None, :]
+    Wim = ci[:, None] * cr[None, :] - cr[:, None] * ci[None, :]
+    T1 = jnp.concatenate(
+        [jnp.concatenate([Wre, Wre], axis=1)] * 2, axis=0)
+    T2 = jnp.concatenate(
+        [jnp.concatenate([-Wim, -Wim], axis=1),
+         jnp.concatenate([Wim, Wim], axis=1)], axis=0)
+
+    E = pl.pallas_call(
+        functools.partial(_wideband_fft_gram_kernel, F=F, n2=n2,
+                          g=g, cb=cb, scale=scale,
+                          compute_dtype=compute_dtype),
+        grid=(n // cb,),
+        in_specs=[
+            pl.BlockSpec((cb * g, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, cb * n2, n2), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n * n2, n2), jnp.float32),
+        interpret=interpret,
+    )(xf[: n * g], jnp.asarray(Pm.T), T1, T2)
+    return E.reshape(F, n, n2, n2)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "N", "F", "snapshot_size", "overlap", "compute_dtype",
     "chunks_per_block", "sb_group", "variant", "interpret"))
 def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
@@ -292,7 +453,7 @@ def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
                                  compute_dtype=jnp.float32,
                                  chunks_per_block: int | None = None,
                                  sb_group: int = 1,
-                                 variant: str = "embedded",
+                                 variant: str = "auto",
                                  interpret: bool = False):
     """xil: f32[T/tp, 2N·tp] interleaved capture; K: channelizer matrix
     (channelizer_matrix(F, N)); cr/ci: f32[N] correction →
@@ -300,11 +461,14 @@ def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
     (normalized by S_sub, correction folded per subband — exact: the
     per-channel correction commutes with the per-channel DFT).
 
-    variant="embedded" (default): the kernel emits embedded, corrected,
-    scaled chunks directly (permute-before-Gram — exact, see kernel
-    docstring); "uhat" keeps the interleaved-basis Gram kernel + XLA
-    embed einsums (the fallback; measured ~35 ms slower at the c5
-    shape — the einsums make 4 tf32 passes over the 2.1 GB stack).
+    variant="fft" (the "auto" default for power-of-two F — measured
+    13.2 ms vs 29.9/78.2 at the c5 shape): channelizer folded INTO the
+    kernel as a radix-2 FFT across frame time-steps (drops the dense
+    matmul's F× extra flops and the channelized stream's HBM round
+    trip). "embedded": dense-matmul channelizer + permute-before-Gram
+    embedded-emit kernel ("auto" falls back here for non-pow2 F).
+    "uhat": interleaved-basis Gram kernel + XLA embed einsums (the
+    einsums make 4 tf32 passes over the 2.1 GB window stack).
 
     Framing matches ops.wideband.subband_covariances: subband snapshot
     S_sub = snapshot_size // F, hop_sub = max(S_sub - overlap // F, 1),
@@ -317,9 +481,23 @@ def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
     hop_sub = max(S_sub - overlap // F, 1)
     g = math.gcd(S_sub, hop_sub)
     tp = interleave_factor(N)
-    Y = channelize_frames(xil, K, F, N, tp)          # (M, F·2N)
-    M = Y.shape[0]
     n2 = 2 * N
+    if variant == "auto":
+        variant = "embedded" if F & (F - 1) else "fft"
+    if variant == "fft":
+        if F % tp:
+            raise ValueError(f"need TPACK ({tp}) | num_subbands ({F})")
+        rows = xil.shape[0]
+        M = (rows * tp) // F
+        xf = xil[: (M * F) // tp].reshape(M, F * n2)  # frames (free)
+        E = subband_fft_embedded_pallas(
+            xf, cr, ci, F=F, N=N, g=g, scale=1.0 / S_sub,
+            chunks_per_block=chunks_per_block,
+            compute_dtype=compute_dtype, interpret=interpret)
+    else:
+        Y = channelize_frames(xil, K, F, N, tp)      # (M, F·2N)
+        M = Y.shape[0]
+        E = None
     n_win = S_sub // g
     stride = hop_sub // g
     B = 0 if M < S_sub else (M - S_sub) // hop_sub + 1
@@ -329,6 +507,7 @@ def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
             chunks_per_block=chunks_per_block,
             compute_dtype=compute_dtype,
             interpret=interpret)                      # (F, n, 2N, 2N)
+    if E is not None:
         if n_win == 1:
             return E[:, :B]
         csum = jnp.concatenate(

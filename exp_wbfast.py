@@ -79,11 +79,24 @@ def stage_kernel():
         except Exception as e:
             _log(f"embedded-emit kernel cb={cb}: FAIL "
                  f"{type(e).__name__}: {str(e)[:120]}")
-    for variant in ("embedded", "uhat"):
-        dt = _time(lambda: wideband_cov_embedded_pallas(
-            xil, K, cr, ci, N=N, F=F, snapshot_size=S,
-            variant=variant))
-        _log(f"full wideband cov front-end [{variant}]: {dt*1e3:.2f} ms")
+    for variant in ("fft", "embedded", "uhat"):
+        try:
+            dt = _time(lambda: wideband_cov_embedded_pallas(
+                xil, K, cr, ci, N=N, F=F, snapshot_size=S,
+                variant=variant))
+            _log(f"full wideband cov front-end [{variant}]: "
+                 f"{dt*1e3:.2f} ms")
+        except Exception as e:
+            _log(f"front-end [{variant}]: FAIL {type(e).__name__}: "
+                 f"{str(e)[:160]}")
+    # fft-variant numeric check vs embedded on hardware (value-carrying
+    # precision paths differ: VPU f32 butterflies vs tf32 dense matmul)
+    E1 = np.asarray(wideband_cov_embedded_pallas(
+        xil, K, cr, ci, N=N, F=F, snapshot_size=S, variant="fft"))
+    E2 = np.asarray(wideband_cov_embedded_pallas(
+        xil, K, cr, ci, N=N, F=F, snapshot_size=S, variant="embedded"))
+    _log(f"fft vs embedded max rel err: "
+         f"{np.max(np.abs(E1 - E2)) / np.max(np.abs(E2)):.2e}")
 
 
 def stage_pipe():

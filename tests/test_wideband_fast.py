@@ -24,7 +24,7 @@ from doa_tpu.ops.wideband import dft_matrix, subband_covariances
 from doa_tpu.pipeline_tpu import build_pipeline_tpu
 
 
-@pytest.mark.parametrize("variant", ["embedded", "uhat"])
+@pytest.mark.parametrize("variant", ["fft", "embedded", "uhat"])
 @pytest.mark.parametrize("N,F,S,overlap", [
     (4, 16, 256, 0),        # TPACK=16 | F
     (8, 8, 256, 64),        # subband-domain overlap (hop_sub < S_sub)
