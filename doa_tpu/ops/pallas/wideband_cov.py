@@ -456,7 +456,8 @@ def wideband_cov_embedded_pallas(xil, K, cr, ci, *, N: int, F: int,
                                  variant: str = "auto",
                                  interpret: bool = False):
     """xil: f32[T/tp, 2N·tp] interleaved capture; K: channelizer matrix
-    (channelizer_matrix(F, N)); cr/ci: f32[N] correction →
+    (channelizer_matrix(F, N); may be None on the fft path, which
+    needs no channelizer constant); cr/ci: f32[N] correction →
     per-subband embedded covariance windows E_sub: f32[F, B, 2N, 2N]
     (normalized by S_sub, correction folded per subband — exact: the
     per-channel correction commutes with the per-channel DFT).

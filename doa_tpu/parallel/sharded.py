@@ -373,6 +373,63 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         return find_local_max(P_full, cfg.num_max_vals, x_rng[0],
                               x_rng[1], refine=refine_peaks)
 
+    # Fast per-device front-end: the fused FFT channelizer + embedded
+    # Gram kernel (ops.pallas.wideband_cov) under shard_map. Each
+    # device runs the kernel over its LOCAL time block — the FFT
+    # yields all F subbands at once (that work is inherent), and the
+    # device keeps its F_loc slice for the expensive subspace/scan
+    # stages. The kernel is ~5× the XLA channelize+cov pair, so the
+    # F/F_loc Gram redundancy is noise next to the subspace stage.
+    from doa_tpu.ops.pallas.cov_embedded import interleave_factor
+    from doa_tpu.pipeline_tpu import _resolve_impl
+    N_el = cfg.geometry.num_elements
+    cov_impl, interp = _resolve_impl(cfg)
+    tp = interleave_factor(N_el)
+    fast = (cov_impl == "pallas" and not (F & (F - 1)) and F % tp == 0
+            and (interp or 2 * N_el >= 128))
+
+    def shard_fn_fast(xil, cr, ci, Asr, Asi):
+        from doa_tpu.cpx import unembed_hermitian
+        from doa_tpu.ops.pallas.wideband_cov import (
+            wideband_cov_embedded_pallas)
+        from doa_tpu.ops.wideband import subband_subspaces_from_E
+
+        ep = jax.lax.axis_index(GRID_AXIS)
+        E = wideband_cov_embedded_pallas(
+            xil, None, cr, ci, N=N_el, F=F, snapshot_size=S,
+            overlap=cfg.overlap, variant="fft",
+            interpret=interp)                       # (F, B_loc, 2N, 2N)
+        E_loc = jax.lax.dynamic_slice_in_dim(E, ep * F_loc, F_loc,
+                                             axis=0)
+        A_loc = Cpx(Asr, Asi)                       # (F_loc, G, N)
+        if cfg.subspace_method == "power":
+            V = subband_subspaces_from_E(E_loc, cfg)
+
+            def spec_one(v, Af):
+                den = jnp.maximum(
+                    cpx_ops.music_denominator_subspace(v, Af), 0.0)
+                Pl = 1.0 / jnp.maximum(den,
+                                       jnp.finfo(jnp.float32).tiny)
+                return Pl / jnp.max(Pl, axis=-1, keepdims=True)
+
+            P_sub = jax.vmap(spec_one)(V, A_loc)    # (F_loc, B, G)
+        else:
+            R = unembed_hermitian(E_loc)
+            Mp = jax.vmap(lambda r: cpx_ops.noise_projector_cpx(
+                r, cfg.num_sources))(R)
+
+            def spec_one(mp, Af):
+                den = cpx_ops.music_denominator_cpx(mp, Af)
+                Pl = 1.0 / jnp.maximum(den,
+                                       jnp.finfo(jnp.float32).tiny)
+                return Pl / jnp.max(Pl, axis=-1, keepdims=True)
+
+            P_sub = jax.vmap(spec_one)(Mp, A_loc)
+        P = jax.lax.psum(jnp.sum(P_sub, axis=0), GRID_AXIS) / F
+        v, l = _peaks(P)
+        return {"spectrum_music": P, "peak_values_music": v,
+                "peak_angles_music": l}
+
     def shard_fn(xr, xi, cr, ci, Wr, Wi, Asr, Asi):
         from doa_tpu.ops.wideband import channelize_cpx
 
@@ -422,14 +479,24 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
     out_specs = {"spectrum_music": P(SNAP_AXIS, None),
                  "peak_values_music": P(SNAP_AXIS, None),
                  "peak_angles_music": P(SNAP_AXIS, None)}
-    mapped = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
-                  P(), P(), P(GRID_AXIS, None, None),
-                  P(GRID_AXIS, None, None)),
-        out_specs=out_specs,
-        check_vma=False,
-    )
+    if fast:
+        mapped = jax.shard_map(
+            shard_fn_fast, mesh=mesh,
+            in_specs=(P(SNAP_AXIS, None), P(), P(),
+                      P(GRID_AXIS, None, None),
+                      P(GRID_AXIS, None, None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    else:
+        mapped = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
+                      P(), P(), P(GRID_AXIS, None, None),
+                      P(GRID_AXIS, None, None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
     jitted = jax.jit(f32_matmuls(mapped))
 
     A_sh = NamedSharding(mesh, P(GRID_AXIS, None, None))
@@ -440,8 +507,32 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
     Wr_d = jax.device_put(W_host.real.astype(np.float32))
     Wi_d = jax.device_put(W_host.imag.astype(np.float32))
 
+    def _correction_planes(N, correction):
+        if correction is None:
+            return (jnp.ones((N,), jnp.float32),
+                    jnp.zeros((N,), jnp.float32))
+        c = np.asarray(correction)
+        return (jnp.asarray(c.real.astype(np.float32)),
+                jnp.asarray(c.imag.astype(np.float32)))
+
     def call(x, correction=None):
         n_snap = mesh.shape[SNAP_AXIS]
+        if fast:
+            # interleaved ingest: a C-ordered c64 capture IS the layout
+            if isinstance(x, Cpx):
+                x = (np.asarray(x.re)
+                     + 1j * np.asarray(x.im)).astype(np.complex64)
+            x = np.ascontiguousarray(np.asarray(x, dtype=np.complex64))
+            T, N = x.shape
+            if T % (n_snap * S):
+                raise ValueError(
+                    f"T={T} must be divisible by n_snap*S={n_snap * S} "
+                    "on the wideband EP path")
+            xil_h = x.view(np.float32).reshape(T // tp, 2 * N * tp)
+            xil = jax.device_put(
+                xil_h, NamedSharding(mesh, P(SNAP_AXIS, None)))
+            cr, ci = _correction_planes(N, correction)
+            return jitted(xil, cr, ci, Asr_d, Asi_d)
         if isinstance(x, Cpx):
             xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
         else:
@@ -455,18 +546,12 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         x_sh = NamedSharding(mesh, P(SNAP_AXIS, None))
         xr = jax.device_put(xr_h, x_sh)
         xi = jax.device_put(xi_h, x_sh)
-        N = xr_h.shape[1]
-        if correction is None:
-            cr = jnp.ones((N,), jnp.float32)
-            ci = jnp.zeros((N,), jnp.float32)
-        else:
-            c = np.asarray(correction)
-            cr = jnp.asarray(c.real.astype(np.float32))
-            ci = jnp.asarray(c.imag.astype(np.float32))
+        cr, ci = _correction_planes(xr_h.shape[1], correction)
         return jitted(xr, xi, cr, ci, Wr_d, Wi_d, Asr_d, Asi_d)
 
     call.jitted = jitted
     call.mesh = mesh
+    call.fast = fast
     return call
 
 

@@ -170,6 +170,48 @@ def test_sharded_wideband_ep_parity(spec):
 
 
 @pytest.mark.parametrize("spec", [MeshSpec(4, 2), MeshSpec(2, 4)])
+def test_sharded_wideband_fast_parity(spec):
+    """The Pallas fused-FFT front-end under shard_map (cov_impl=
+    'pallas'; per-device all-F kernel + local-subband slice) must match
+    the XLA EP-sharded path and the single-device pipeline."""
+    import dataclasses
+
+    from doa_tpu.configs import WidebandSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=128),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+        num_max_vals=2)
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=117.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        8, 0.5, 16 * 1024, snr_db=12, seed=7,
+        fractional_bw=0.1).astype(np.complex64)
+    c = np.exp(1j * np.linspace(0, 0.4, 8)).astype(np.complex64)
+    mesh = make_mesh(spec)
+    pipe_fast = build_sharded_pipeline(
+        dataclasses.replace(cfg, cov_impl="pallas"), mesh)
+    assert pipe_fast.fast
+    out_f = pipe_fast(x, correction=c)
+    out_x = build_sharded_pipeline(cfg, mesh)(x, correction=c)
+    np.testing.assert_allclose(np.asarray(out_f["spectrum_music"]),
+                               np.asarray(out_x["spectrum_music"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_f["peak_angles_music"]),
+        np.asarray(out_x["peak_angles_music"]), atol=5e-3)
+    ref = build_pipeline_tpu(cfg)(x, correction=c)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out_f["peak_angles_music"]), -1),
+        np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=0.05)
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(4, 2), MeshSpec(2, 4)])
 def test_sharded_wideband_cssm_parity(spec):
     """Coherent (CSSM) sharded wideband: EP-sharded focused covariances
     psum-fused, then the SAME mesh axis reused for the TP grid scan —
