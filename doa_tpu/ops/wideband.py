@@ -125,7 +125,9 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
 
         def spec_one(v, Af):
             den = jnp.maximum(
-                cpx_ops.music_denominator_subspace(v, Af), 0.0)
+                cpx_ops.music_denominator_subspace(
+                    v, Af,
+                    compute_dtype=jnp.dtype(cfg.compute_dtype)), 0.0)
             P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
             return P / jnp.max(P, axis=-1, keepdims=True)
 
@@ -137,7 +139,8 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
         lambda r: cpx_ops.noise_projector_cpx(r, cfg.num_sources))(R)
 
     def spec_one(mp, Af):
-        den = cpx_ops.music_denominator_cpx(mp, Af)
+        den = cpx_ops.music_denominator_cpx(
+            mp, Af, compute_dtype=jnp.dtype(cfg.compute_dtype))
         P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
         return P / jnp.max(P, axis=-1, keepdims=True)
 
@@ -171,7 +174,8 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
         def step(acc, vA):
             v, Ar, Ai = vA
             den = jnp.maximum(cpx_ops.music_denominator_subspace(
-                v, Cpx(Ar, Ai)), 0.0)
+                v, Cpx(Ar, Ai),
+                compute_dtype=jnp.dtype(cfg.compute_dtype)), 0.0)
             P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
             return acc + P / jnp.max(P, axis=-1, keepdims=True), None
 
@@ -185,8 +189,9 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
 
         def step(acc, vA):
             mr, mi, Ar, Ai = vA
-            den = cpx_ops.music_denominator_cpx(Cpx(mr, mi),
-                                                Cpx(Ar, Ai))
+            den = cpx_ops.music_denominator_cpx(
+                Cpx(mr, mi), Cpx(Ar, Ai),
+                compute_dtype=jnp.dtype(cfg.compute_dtype))
             P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
             return acc + P / jnp.max(P, axis=-1, keepdims=True), None
 

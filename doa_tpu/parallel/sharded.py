@@ -200,7 +200,9 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                     M_proj = (M_proj if M_proj is not None else
                               cpx_ops.noise_projector_cpx(
                                   R, cfg.num_sources))
-                    den = cpx_ops.music_denominator_cpx(M_proj, A)
+                    den = cpx_ops.music_denominator_cpx(
+                        M_proj, A,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype))
                 P_loc = 1.0 / jnp.maximum(den,
                                           jnp.finfo(jnp.float32).tiny)
             elif est == Estimator.MIN_NORM:
@@ -407,7 +409,10 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
 
             def spec_one(v, Af):
                 den = jnp.maximum(
-                    cpx_ops.music_denominator_subspace(v, Af), 0.0)
+                    cpx_ops.music_denominator_subspace(
+                        v, Af,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype)),
+                    0.0)
                 Pl = 1.0 / jnp.maximum(den,
                                        jnp.finfo(jnp.float32).tiny)
                 return Pl / jnp.max(Pl, axis=-1, keepdims=True)
@@ -419,7 +424,8 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
                 r, cfg.num_sources))(R)
 
             def spec_one(mp, Af):
-                den = cpx_ops.music_denominator_cpx(mp, Af)
+                den = cpx_ops.music_denominator_cpx(
+                    mp, Af, compute_dtype=jnp.dtype(cfg.compute_dtype))
                 Pl = 1.0 / jnp.maximum(den,
                                        jnp.finfo(jnp.float32).tiny)
                 return Pl / jnp.max(Pl, axis=-1, keepdims=True)
@@ -453,7 +459,10 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
 
             def spec_one(v, Af):
                 den = jnp.maximum(
-                    cpx_ops.music_denominator_subspace(v, Af), 0.0)
+                    cpx_ops.music_denominator_subspace(
+                        v, Af,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype)),
+                    0.0)
                 P = 1.0 / jnp.maximum(den,
                                       jnp.finfo(jnp.float32).tiny)
                 return P / jnp.max(P, axis=-1, keepdims=True)
@@ -464,7 +473,8 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
                 r, cfg.num_sources))(R)
 
             def spec_one(mp, Af):
-                den = cpx_ops.music_denominator_cpx(mp, Af)
+                den = cpx_ops.music_denominator_cpx(
+                    mp, Af, compute_dtype=jnp.dtype(cfg.compute_dtype))
                 P = 1.0 / jnp.maximum(den,
                                       jnp.finfo(jnp.float32).tiny)
                 return P / jnp.max(P, axis=-1, keepdims=True)
@@ -662,10 +672,13 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
                 R, cfg.num_sources, iters=cfg.power_iters,
                 squarings=cfg.power_squarings)
             den = jnp.maximum(
-                cpx_ops.music_denominator_subspace(V, A), 0.0)
+                cpx_ops.music_denominator_subspace(
+                    V, A, compute_dtype=jnp.dtype(cfg.compute_dtype)),
+                0.0)
         else:
             Mp = cpx_ops.noise_projector_cpx(R, cfg.num_sources)
-            den = cpx_ops.music_denominator_cpx(Mp, A)
+            den = cpx_ops.music_denominator_cpx(
+                Mp, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
         P_loc = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
         if is_2d:
             P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,

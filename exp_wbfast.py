@@ -161,6 +161,34 @@ def stage_pipe():
     _log(f"fast-path median (az, el): {med}")
 
 
+def stage_bf16():
+    """c5 with the opt-in bf16 scan (compute_dtype) on the fast path."""
+    import jax
+    import jax.numpy as jnp
+    from doa_tpu.configs import PRESETS
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = PRESETS["c5_ura64_wideband"]
+    N, B = 64, 2048
+    T = B * cfg.snapshot_size
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((T, N))
+         + 1j * rng.standard_normal((T, N))).astype(np.complex64)
+    cr = jnp.ones((N,), jnp.float32)
+    ci = jnp.zeros((N,), jnp.float32)
+    pipe = build_pipeline_tpu(
+        dataclasses.replace(cfg, cov_impl="pallas",
+                            compute_dtype="bfloat16"),
+        return_spectra=False)
+    xil = jax.device_put(
+        np.ascontiguousarray(x).view(np.float32).reshape(T, 2 * N))
+    Ar, Ai = pipe.steering_planes
+    dt = _time(lambda: pipe.jitted_ilv(xil, cr, ci, Ar, Ai,
+                                       *pipe.wb_ilv_args))
+    _log(f"c5 wb_fast bf16-scan pipelined: {dt*1e3:.2f} ms/call "
+         f"({B/dt:.0f} snapshots/s)")
+
+
 if __name__ == "__main__":
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -170,3 +198,5 @@ if __name__ == "__main__":
         stage_kernel()
     if stage in ("pipe", "all"):
         stage_pipe()
+    if stage == "bf16":
+        stage_bf16()

@@ -152,6 +152,31 @@ def test_pipeline_wideband_fast_parity_ura(fusion, scan_mode):
     np.testing.assert_allclose(a1, a0, atol=5e-3)
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_wideband_quantized_scan(dtype):
+    """cfg.compute_dtype now reaches the wideband subband scans (the
+    F1 quantized-scan capability applied to wideband): reduced
+    precision must still localize well-separated sources."""
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=111.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        8, 0.5, 8 * 256 * 6, fractional_bw=0.1, snr_db=15,
+        seed=3).astype(np.complex64)
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2, num_max_vals=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=256),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+        compute_dtype=dtype)
+    pipe = build_pipeline_tpu(cfg)
+    med = np.sort(np.median(
+        np.asarray(pipe(x).peak_angles["music"]), axis=0))
+    tol = 1.5 if dtype == "bfloat16" else 3.0
+    assert abs(med[0] - 62.0) < tol and abs(med[1] - 111.0) < tol, med
+
+
 def test_wb_fast_gating():
     """tp ∤ F falls back to the planes path (no wb_fast)."""
     cfg = DoaConfig(
