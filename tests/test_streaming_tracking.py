@@ -172,6 +172,46 @@ def test_calibration_roundtrip_extensionless_path(tmp_path):
     np.testing.assert_allclose(art2.phase_offsets, art.phase_offsets)
 
 
+def test_streaming_wideband_matches_offline():
+    """StreamingDriver over a WIDEBAND pipeline (fast Pallas front-end,
+    interpret mode): streamed blocks must reproduce the offline window
+    sequence. overlap=128 with F=8 keeps subband-domain framing aligned
+    across block boundaries (hop_sub·F = hop divides block and
+    overlap)."""
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec1D, WidebandSpec)
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    for overlap in (0, 128):
+        cfg = DoaConfig(
+            geometry=ArrayGeometry(kind="ula", num_elements=8,
+                                   norm_spacing=0.5),
+            snapshot_size=256, overlap=overlap, num_sources=2,
+            estimators=(Estimator.MUSIC,),
+            grid=GridSpec1D(num_points=181),
+            wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+            num_max_vals=2, cov_impl="pallas")
+        pipe = build_pipeline_tpu(cfg, return_spectra=False)
+        assert pipe.wb_fast
+        T, blk = 4096, 1024
+        x = synth_wideband_ula_iq(
+            [SourceSpec(theta_deg=62.0, freq_norm=0.0,
+                        bandwidth_norm=0.5),
+             SourceSpec(theta_deg=111.0, freq_norm=0.0,
+                        bandwidth_norm=0.5)],
+            8, 0.5, T, fractional_bw=0.1, snr_db=15,
+            seed=3).astype(np.complex64)
+        offline = np.asarray(pipe(x).peak_angles["music"])
+        drv = StreamingDriver(pipe, block_samples=blk)
+        streamed = [np.asarray(res.peak_angles["music"]) for _, res in
+                    drv.run_iter(x[j:j + blk]
+                                 for j in range(0, T, blk))]
+        streamed = np.concatenate(streamed, axis=0)
+        assert streamed.shape == offline.shape, (overlap, streamed.shape)
+        np.testing.assert_allclose(streamed, offline, atol=0.01)
+
+
 def test_scan_capture_matches_per_block():
     """lax.scan capture mode: stacked blocks through one device program
     must match per-block calls with the continuous-framing carry
