@@ -232,7 +232,8 @@ def _mgs_rows(Vt, passes: int = 1):
     return jnp.stack(rows, axis=-2)
 
 
-def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int):
+def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
+                      init=None):
     """MGS-orthonormalized subspace iteration (the r2-s4 measured
     winner): 5.8 ms vs 20.7 (NS e1@8) / 9.6 (NS e4@8) at the headline
     shape, AND robust — planted-spectrum bad-rate 0 through eigenvalue
@@ -241,7 +242,14 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int):
     the fastest and the most robust schedule under MGS. squarings > 0
     still narrows the envelope (conditioning grows spread^(2^s) between
     orths — measured: mgs_e4 breaks by spread 100) and no longer buys
-    speed; kept for the config surface."""
+    speed; kept for the config surface.
+
+    init: optional orthonormal starting basis Vt0 f32[B, 2K, 2N]
+    (WARM START — e.g. the capture-mean covariance's subspace). With
+    init given, `iters` counts the E-applies from that basis: each
+    iteration shrinks the subspace angle by (λ_{K+1}/λ_K), so a good
+    init needs far fewer passes over E than the cold Ep-rows start —
+    the E reads ARE the stage cost at production shapes."""
     K2 = 2 * num_sources
     n2 = E.shape[-1]
     tr = jnp.einsum("bii->b", E)[:, None, None] / n2
@@ -249,8 +257,12 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int):
     for _ in range(squarings):
         Ep = jnp.einsum("bij,bjk->bik", Ep, Ep,
                         preferred_element_type=jnp.float32)
-    Vt = _mgs_rows(Ep[..., :K2, :])
-    rounds = max(1, iters // (1 << squarings))
+    if init is not None:
+        Vt = init                   # must be orthonormal rows
+        rounds = iters // (1 << squarings) + 1
+    else:
+        Vt = _mgs_rows(Ep[..., :K2, :])
+        rounds = max(1, iters // (1 << squarings))
     for r in range(rounds - 1):
         Vt = _mgs_rows(
             jnp.einsum("bkn,bnm->bkm", Vt, Ep,
@@ -262,7 +274,7 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int):
 def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
                              ns_iters: int = 12, ns_iters_mid: int = 8,
                              squarings: int = 0, pack: int = 4,
-                             orth: str = "mgs"):
+                             orth: str = "mgs", init=None):
     """Embedded signal subspace in TRANSPOSED layout: Vt f32[B, 2K, 2N]
     with Vt·Vtᵀ = I — the production fast form.
 
@@ -316,7 +328,10 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
     (bf16×3) — single-pass-bf16 Grams make the iteration converge to
     wrong subspaces on structured signals (docs/PERF.md)."""
     if orth == "mgs":
-        return _subspace_E_T_mgs(E, num_sources, iters, squarings)
+        return _subspace_E_T_mgs(E, num_sources, iters, squarings,
+                                 init=init)
+    if init is not None:
+        raise ValueError("warm-start init requires orth='mgs'")
     K2 = 2 * num_sources
     PACK = pack
 

@@ -95,6 +95,9 @@ def subband_covariances(x: Cpx, W: Cpx, cfg: DoaConfig) -> Cpx:
 def subband_subspaces(R: Cpx, cfg: DoaConfig):
     """Per-subband embedded signal subspaces f32[F, B, 2N, 2K]
     (power path)."""
+    if cfg.subspace_warm_start:
+        from doa_tpu.cpx import embed_hermitian
+        return subband_subspaces_from_E(embed_hermitian(R), cfg)
     return jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
         r, cfg.num_sources, iters=cfg.power_iters,
         squarings=cfg.power_squarings))(R)
@@ -104,8 +107,25 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
     """Pre-embedded per-subband covariances f32[F, B, 2N, 2N] (the
     wideband Pallas front-end's output) → signal subspaces
     f32[F, B, 2N, 2K]. Merges the (F, B) axes so the subspace
-    iteration runs one large batch instead of a vmap over subbands."""
+    iteration runs one large batch instead of a vmap over subbands.
+
+    cfg.subspace_warm_start: initialize every window from its subband's
+    CAPTURE-MEAN covariance subspace (full-iters on F tiny matrices)
+    and refine with power_iters_warm E-applies per window — cuts the
+    stage's dominant cost (passes over the (F·B, 2N, 2N) stack) from
+    power_iters to power_iters_warm."""
     F, B, n2, _ = E_sub.shape
+    K2 = 2 * cfg.num_sources
+    if cfg.subspace_warm_start:
+        Vt_bar = cpx_ops.signal_subspace_from_E_T(
+            jnp.mean(E_sub, axis=1), cfg.num_sources,
+            iters=max(cfg.power_iters, 8))           # (F, 2K, 2N)
+        init = jnp.broadcast_to(
+            Vt_bar[:, None], (F, B, K2, n2)).reshape(F * B, K2, n2)
+        Vt = cpx_ops.signal_subspace_from_E_T(
+            E_sub.reshape(F * B, n2, n2), cfg.num_sources,
+            iters=cfg.power_iters_warm, init=init)
+        return jnp.swapaxes(Vt, -1, -2).reshape(F, B, n2, K2)
     V = cpx_ops.signal_subspace_from_E(
         E_sub.reshape(F * B, n2, n2), cfg.num_sources,
         iters=cfg.power_iters, squarings=cfg.power_squarings)

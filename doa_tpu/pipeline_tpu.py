@@ -180,9 +180,22 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         if cfg.subspace_impl in ("auto", "xla"):
             # Transposed-layout XLA iteration: Vt.reshape IS the packed
             # layout (leading-dim merges only — no relayout pass).
-            Vt = cpx_ops.signal_subspace_from_E_T(
-                E_win, cfg.num_sources, iters=cfg.power_iters,
-                squarings=cfg.power_squarings)
+            if cfg.subspace_warm_start:
+                # warm start from the capture-mean subspace: per-window
+                # refinement reads E power_iters_warm times, not
+                # power_iters (see configs.subspace_warm_start)
+                Vt_bar = cpx_ops.signal_subspace_from_E_T(
+                    jnp.mean(E_win, axis=0)[None], cfg.num_sources,
+                    iters=max(cfg.power_iters, 8))
+                init = jnp.broadcast_to(
+                    Vt_bar, (E_win.shape[0],) + Vt_bar.shape[1:])
+                Vt = cpx_ops.signal_subspace_from_E_T(
+                    E_win, cfg.num_sources,
+                    iters=cfg.power_iters_warm, init=init)
+            else:
+                Vt = cpx_ops.signal_subspace_from_E_T(
+                    E_win, cfg.num_sources, iters=cfg.power_iters,
+                    squarings=cfg.power_squarings)
             B = E_win.shape[0]
             Bp = ((B + W - 1) // W) * W
             Vp_flat = Vt.reshape(B * k2, n2)

@@ -189,6 +189,47 @@ def stage_bf16():
          f"({B/dt:.0f} snapshots/s)")
 
 
+def stage_warm():
+    """c5 with warm-started per-window subspaces (+ angle check vs
+    cold on a structured capture)."""
+    import jax
+    import jax.numpy as jnp
+    from doa_tpu.configs import PRESETS
+    from doa_tpu.io.synthetic import SourceSpec, synth_wideband_ura_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = PRESETS["c5_ura64_wideband"]
+    N, B = 64, 2048
+    T = B * cfg.snapshot_size
+    x = synth_wideband_ura_iq(
+        [SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.0,
+                    bandwidth_norm=0.5),
+         SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.0,
+                    bandwidth_norm=0.5)],
+        (8, 8), 0.5, T, fractional_bw=0.1, snr_db=10,
+        seed=0).astype(np.complex64)
+    cr = jnp.ones((N,), jnp.float32)
+    ci = jnp.zeros((N,), jnp.float32)
+    xil = jax.device_put(
+        np.ascontiguousarray(x).view(np.float32).reshape(T, 2 * N))
+    angs = {}
+    for warm in (True, False):
+        pipe = build_pipeline_tpu(
+            dataclasses.replace(cfg, cov_impl="pallas",
+                                subspace_warm_start=warm),
+            return_spectra=False)
+        Ar, Ai = pipe.steering_planes
+        call = lambda: pipe.jitted_ilv(   # noqa: E731
+            xil, cr, ci, Ar, Ai, *pipe.wb_ilv_args)
+        dt = _time(call)
+        _log(f"c5 wb_fast warm={warm}: {dt*1e3:.2f} ms/call "
+             f"({B/dt:.0f} snapshots/s)")
+        angs[warm] = np.asarray(call()["peak_angles"]["music"])
+    err = np.max(np.abs(angs[True] - angs[False]))
+    _log(f"warm vs cold angle |diff| max: {err:.4f} deg")
+    _log(f"warm median: {np.median(angs[True].reshape(-1, 2, 2), 0)}")
+
+
 if __name__ == "__main__":
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -200,3 +241,5 @@ if __name__ == "__main__":
         stage_pipe()
     if stage == "bf16":
         stage_bf16()
+    if stage == "warm":
+        stage_warm()

@@ -192,6 +192,38 @@ def test_schedule_envelope_source_imbalance():
     assert abs(ang[1] - 110.0) > 0.5, ang
 
 
+def test_warm_start_matches_cold_narrowband():
+    """subspace_warm_start on the fused narrowband path: 3 E-applies
+    from the capture-mean subspace must match the cold 8-apply result —
+    including at 20 dB source imbalance (the mean subspace contains the
+    weak direction, so warm refinement cannot lose it)."""
+    from doa_tpu.configs import ArrayGeometry, DoaConfig, GridSpec1D
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024), num_max_vals=2,
+        cov_impl="pallas")
+    for imb_db in (0.0, 20.0):
+        amp = 10 ** (-imb_db / 20)
+        x = synth_ula_iq(
+            [SourceSpec(theta_deg=60.0, freq_norm=0.1, amplitude=1.0),
+             SourceSpec(theta_deg=110.0, freq_norm=0.3, amplitude=amp)],
+            16, 0.5, 16 * 1024, snr_db=10, seed=0).astype(np.complex64)
+        cold = build_pipeline_tpu(cfg)
+        warm = build_pipeline_tpu(
+            dataclasses.replace(cfg, subspace_warm_start=True))
+        assert cold.fast_path and warm.fast_path
+        a0 = np.sort(np.asarray(cold(x).peak_angles["music"]), -1)
+        a1 = np.sort(np.asarray(warm(x).peak_angles["music"]), -1)
+        np.testing.assert_allclose(a1, a0, atol=0.05)
+        med = np.median(a1, axis=0)
+        assert abs(med[0] - 60.0) < 0.5 and abs(med[1] - 110.0) < 0.5, (
+            imb_db, med)
+
+
 def test_near_rayleigh_resolution_mgs():
     """The r2-s4 threshold fix: at sep = 2° (~1/3 beamwidth, 16-el ULA)
     the MGS subspace iteration resolves both sources WITHOUT the guard —

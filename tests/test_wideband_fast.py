@@ -152,6 +152,38 @@ def test_pipeline_wideband_fast_parity_ura(fusion, scan_mode):
     np.testing.assert_allclose(a1, a0, atol=5e-3)
 
 
+@pytest.mark.parametrize("snr_db", [15, 0])
+@pytest.mark.parametrize("scan_mode", ["dense", "hierarchical"])
+def test_wideband_warm_start_subspace(snr_db, scan_mode):
+    """Warm-started per-window subspace iteration (3 E-applies from the
+    capture-mean subspace) must match the cold 8-apply iteration's
+    angles — including at 0 dB where convergence is slowest."""
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=111.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        8, 0.5, 8 * 256 * 6, fractional_bw=0.1, snr_db=snr_db,
+        seed=3).astype(np.complex64)
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2, num_max_vals=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=256),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+        scan_mode=scan_mode, cov_impl="pallas")
+    cold = build_pipeline_tpu(cfg)
+    warm = build_pipeline_tpu(
+        dataclasses.replace(cfg, subspace_warm_start=True))
+    a0 = np.asarray(cold(x).peak_angles["music"])
+    a1 = np.asarray(warm(x).peak_angles["music"])
+    tol = 0.05 if snr_db >= 10 else 0.5
+    np.testing.assert_allclose(np.sort(a1, -1), np.sort(a0, -1),
+                               atol=tol)
+    med = np.sort(np.median(a1, axis=0))
+    atol = 0.5 if snr_db >= 10 else 2.0
+    assert abs(med[0] - 62.0) < atol and abs(med[1] - 111.0) < atol, med
+
+
 @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
 def test_wideband_quantized_scan(dtype):
     """cfg.compute_dtype now reaches the wideband subband scans (the
