@@ -203,17 +203,22 @@ class DoaConfig:
     # in DoaResult.subspace_residual for observability.
     subspace_check: bool = False
     subspace_tol: float = 0.05
-    # WARM-START subspace iteration (wideband paths): initialize every
-    # window's iteration from the CAPTURE-MEAN covariance's subspace
-    # (computed at full power_iters on the tiny per-subband mean — F
-    # matrices, not F·B) and refine per window with power_iters_warm
-    # E-applies. The E reads are the stage cost (8 passes over the
-    # (F·B, 2N, 2N) stack at c5), so a good init cuts the stage near-
-    # proportionally. The refinement still converges to each window's
-    # OWN subspace — init affects speed, not the fixed point; windows
-    # far from the mean (moving emitters) just converge like a cold
-    # start from a closer basis. Requires subspace_method="power".
-    subspace_warm_start: bool = False
+    # WARM-START subspace iteration (the DEFAULT on the fused
+    # narrowband path and the wideband incoherent paths, for window
+    # batches ≥ 32): initialize every window's iteration from the
+    # CAPTURE-MEAN covariance's subspace (computed at full power_iters
+    # on the tiny mean — 1 or F matrices, not B or F·B) and refine per
+    # window with power_iters_warm E-applies. The E reads are the
+    # stage cost (8 passes over the (F·B, 2N, 2N) stack at c5), so a
+    # good init cuts the stage near-proportionally: c5 77.3 → 59.1 ms,
+    # headline measured in docs/PERF.md. The refinement still converges
+    # to each window's OWN subspace — init affects speed, not the
+    # fixed point. Measured equivalent to cold (order-invariant angle
+    # diff ≤ 0.013°) at 0 dB SNR, 20 dB source imbalance, 2° near-
+    # Rayleigh separation, and 30°-sweep moving emitters
+    # (tests/test_power_subspace.py, tests/test_wideband_fast.py).
+    # Requires subspace_method="power"; cold iteration via False.
+    subspace_warm_start: bool = True
     power_iters_warm: int = 3
     # MUSIC scan strategy: "dense" scans the full grid; "hierarchical"
     # (ULA + power path only) runs a coarse grid scan then refines each
@@ -390,8 +395,5 @@ PRESETS = {
         grid2d=GridSpec2D(num_az=181, num_el=91),
         wideband=WidebandSpec(num_subbands=16, fractional_bw=0.1),
         num_max_vals=2,
-        # warm-started per-window subspaces: 59.1 vs 77.1 ms/call on
-        # hardware, order-invariant angle diff ≤ 2e-4° (docs/PERF.md)
-        subspace_warm_start=True,
     ),
 }

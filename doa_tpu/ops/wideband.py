@@ -95,7 +95,7 @@ def subband_covariances(x: Cpx, W: Cpx, cfg: DoaConfig) -> Cpx:
 def subband_subspaces(R: Cpx, cfg: DoaConfig):
     """Per-subband embedded signal subspaces f32[F, B, 2N, 2K]
     (power path)."""
-    if cfg.subspace_warm_start:
+    if cfg.subspace_warm_start and R.re.shape[1] >= 32:
         from doa_tpu.cpx import embed_hermitian
         return subband_subspaces_from_E(embed_hermitian(R), cfg)
     return jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
@@ -116,7 +116,7 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
     power_iters to power_iters_warm."""
     F, B, n2, _ = E_sub.shape
     K2 = 2 * cfg.num_sources
-    if cfg.subspace_warm_start:
+    if cfg.subspace_warm_start and B >= 32:
         Vt_bar = cpx_ops.signal_subspace_from_E_T(
             jnp.mean(E_sub, axis=1), cfg.num_sources,
             iters=max(cfg.power_iters, 8))           # (F, 2K, 2N)

@@ -453,9 +453,11 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         R = cpx_ops.apply_correction_to_cov(R, Cpx(cr, ci))
         A_loc = Cpx(Asr, Asi)                           # (F_loc, G, N)
         if cfg.subspace_method == "power":
-            V = jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
-                r, cfg.num_sources, iters=cfg.power_iters,
-                squarings=cfg.power_squarings))(R)
+            # subband_subspaces honors subspace_warm_start (per-LOCAL-
+            # subband capture-mean init — identical to the single-
+            # device per-subband means, so parity is preserved)
+            from doa_tpu.ops.wideband import subband_subspaces
+            V = subband_subspaces(R, cfg)
 
             def spec_one(v, Af):
                 den = jnp.maximum(

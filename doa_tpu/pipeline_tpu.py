@@ -180,7 +180,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         if cfg.subspace_impl in ("auto", "xla"):
             # Transposed-layout XLA iteration: Vt.reshape IS the packed
             # layout (leading-dim merges only — no relayout pass).
-            if cfg.subspace_warm_start:
+            if cfg.subspace_warm_start and E_win.shape[0] >= 32:
                 # warm start from the capture-mean subspace: per-window
                 # refinement reads E power_iters_warm times, not
                 # power_iters (see configs.subspace_warm_start)
