@@ -574,7 +574,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     # → no carry).
     _carry_samples = cfg.hop * -(-cfg.overlap // cfg.hop)
 
-    def _scan_capture_core(blks, cr, ci, Ar, Ai):
+    def _scan_capture_core(blks, cr, ci, Ar, Ai, *wb_extra):
         """blks: f32[M, rows, width] → stacked peak outputs, one
         lax.scan step per block: the whole capture is ONE device
         program (no per-block dispatch at all — the streaming analog
@@ -587,7 +587,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         def body(carry, blk):
             x = blk if carry_rows == 0 else jnp.concatenate(
                 [carry, blk], axis=0)
-            out = run_ilv_py(x, cr, ci, Ar, Ai)
+            out = run_ilv_py(x, cr, ci, Ar, Ai, *wb_extra)
             keep = {k: out[k] for k in
                     ("peak_values", "peak_angles", "root_music_angles",
                      "esprit_angles", "unitary_esprit_angles")
@@ -605,13 +605,19 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     def scan_capture(blocks, correction=None):
         """blocks: f32[M, T_blk/TPACK, 2N·TPACK] pre-staged interleaved
         blocks (device or host) → dict of stacked (M, B_blk, ...) peak
-        results. Requires the fused fast path, TPACK | carry, and
+        results. Requires a fused fast path, TPACK | carry, and
         hop | T_blk (so each block consumes a whole number of hops and
-        the carry length is invariant — continuous-stream framing)."""
-        if not fast_cov:
-            raise ValueError("scan_capture requires the fused Pallas "
+        the carry length is invariant — continuous-stream framing).
+        Wideband additionally needs F | overlap (subband-domain framing
+        must align with the input-domain carry)."""
+        if not (fast_cov or wb_fast):
+            raise ValueError("scan_capture requires a fused Pallas "
                              "path (cov_impl='pallas'/auto on TPU, "
                              "power subspace, no smoothing)")
+        if wb_fast and cfg.overlap % cfg.wideband.num_subbands:
+            raise ValueError("wideband scan_capture needs subbands | "
+                             "overlap (else the effective subband hop "
+                             "misaligns with the input-domain carry)")
         if _carry_samples % tp:
             raise ValueError(f"scan_capture needs TPACK ({tp}) | carry "
                              f"({_carry_samples})")
@@ -622,7 +628,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                              f"block samples ({T_blk})")
         cr, ci = _correction_planes(cfg.geometry.num_elements,
                                     correction)
-        return scan_capture_jit(blocks, cr, ci, A_re_d, A_im_d)
+        return scan_capture_jit(blocks, cr, ci, A_re_d, A_im_d,
+                                *(wb_ilv_args if wb_fast else ()))
 
     # windows of block 0 that reference the zero prefix (drop them)
     scan_capture.prefix_windows = _carry_samples // cfg.hop

@@ -212,6 +212,52 @@ def test_streaming_wideband_matches_offline():
         np.testing.assert_allclose(streamed, offline, atol=0.01)
 
 
+def test_scan_capture_wideband_matches_per_block():
+    """scan_capture on a WIDEBAND fast-path pipeline: stacked blocks
+    through one lax.scan device program must match per-block calls
+    with the continuous-framing carry (F | overlap so subband framing
+    aligns with the input-domain carry)."""
+    import jax.numpy as jnp
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec1D, WidebandSpec)
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    N, S, OV, F = 8, 256, 128, 8
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=N,
+                               norm_spacing=0.5),
+        snapshot_size=S, overlap=OV, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=181),
+        wideband=WidebandSpec(num_subbands=F, fractional_bw=0.1),
+        num_max_vals=2, cov_impl="pallas")
+    pipe = build_pipeline_tpu(cfg, return_spectra=False)
+    assert pipe.wb_fast
+    hop = S - OV
+    M, T_blk = 3, 8 * hop
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=111.0, freq_norm=0.0,
+                    bandwidth_norm=0.5)],
+        N, 0.5, M * T_blk, fractional_bw=0.1, snr_db=15,
+        seed=3).astype(np.complex64)
+    from doa_tpu.ops.pallas.cov_embedded import interleave_factor
+    tp = interleave_factor(N)
+    xil = np.ascontiguousarray(x).view(np.float32).reshape(
+        M * T_blk // tp, 2 * N * tp)
+    blocks = xil.reshape(M, T_blk // tp, 2 * N * tp)
+
+    out = pipe.scan_capture(blocks)
+    angs = np.asarray(out["peak_angles"]["music"])   # (M, B_blk, k)
+    C = hop * -(-OV // hop) // tp                    # carry rows
+    for m in range(1, M):
+        xb = np.concatenate([blocks[m - 1][-C:], blocks[m]], axis=0)
+        ref = np.asarray(
+            pipe.interleaved(jnp.asarray(xb)).peak_angles["music"])
+        np.testing.assert_allclose(angs[m], ref, atol=1e-4)
+
+
 def test_scan_capture_matches_per_block():
     """lax.scan capture mode: stacked blocks through one device program
     must match per-block calls with the continuous-framing carry
