@@ -35,6 +35,8 @@ def log(m):
 def main():
     t_pow = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from doa_tpu.configs import (
@@ -53,13 +55,14 @@ def main():
         snapshot_size=SNAP, overlap=0, num_sources=K,
         estimators=(Estimator.MUSIC,),
         grid=GridSpec1D(num_points=GRID), num_max_vals=2)
-    pipe = build_pipeline_tpu(cfg)
+    # production output shape (peaks only): the fused scan+peaks kernel
+    # stays on and the (B, G) spectrum never reaches HBM — same build
+    # bench.py measures
+    pipe = build_pipeline_tpu(cfg, return_spectra=False)
     Ar, Ai = pipe.steering_planes
 
     log(f"T=2^{t_pow} B={B}; generating device data")
     kr, ki = jax.random.split(jax.random.key(0))
-    xr = jax.random.normal(kr, (T, N), jnp.float32)
-    xi = jax.random.normal(ki, (T, N), jnp.float32)
     cr = jnp.ones((N,), jnp.float32)
     ci = jnp.zeros((N,), jnp.float32)
 
@@ -96,7 +99,51 @@ def main():
     GB = 1e9
     n2, k2 = 2 * N, 2 * K
 
-    # ---- stage: covariance (chunk Grams) -----------------------------
+    # ---- PRODUCTION stage: fused interleaved-ingest covariance -------
+    # (timing only — random data is random in any layout, so generate
+    # the interleaved buffer directly instead of keeping planes alive)
+    from doa_tpu.ops.pallas.cov_embedded import (cov_embedded_pallas,
+                                                 interleave_factor)
+    tp = interleave_factor(N)
+    xil = jax.block_until_ready(jax.random.normal(
+        kr, (T // tp, 2 * N * tp), jnp.float32))
+    covf = jax.jit(f32_matmuls(lambda z, cr, ci: cov_embedded_pallas(
+        z, cr, ci, N=N, snapshot_size=SNAP)))
+    covf_bytes = (T * 2 * N * 4 + B * n2 * n2 * 4) / GB
+    # full-lane 128-wide Gram, 2 bf16 dots (hi/lo split) over T/tp rows
+    covf_flops = (2 * 2 * (T // tp) * 128 * 128) / GB
+    measure("covariance_fused (production)", covf, (xil, cr, ci),
+            covf_bytes, covf_flops, peak=V5E_BF16)
+    E_win = jax.block_until_ready(covf(xil, cr, ci))
+
+    # ---- PRODUCTION stage: warm-start subspace (the default) ---------
+    def sub_warm(E):
+        Vt_bar = cpx_ops.signal_subspace_from_E_T(
+            jnp.mean(E, axis=0)[None], K, iters=8)
+        init = jnp.broadcast_to(Vt_bar, (E.shape[0],) + Vt_bar.shape[1:])
+        return cpx_ops.signal_subspace_from_E_T(E, K, iters=3, init=init)
+
+    warm_bytes = (B * n2 * n2 * 4 * (3 + 1) + B * n2 * k2 * 4 * 8) / GB
+    warm_flops = (3 * 2 * B * n2 * n2 * k2) / GB
+    measure("subspace_warm_3 (default)", jax.jit(f32_matmuls(sub_warm)),
+            (E_win,), warm_bytes, warm_flops)
+
+    # ---- PRODUCTION full pipeline: zero-copy interleaved entry -------
+    fullf = lambda z: pipe.jitted_ilv(z, cr, ci, Ar, Ai)  # noqa: E731
+    fullf_bytes = covf_bytes + warm_bytes
+    fullf_flops = covf_flops + warm_flops
+    rowf = measure("full_pipeline_ilv (production)", fullf, (xil,),
+                   fullf_bytes, fullf_flops)
+    snaps = B / (rowf["ms_pipelined"] / 1e3)
+    print(json.dumps({"stage": "headline_production",
+                      "snapshots_per_s_pipelined": round(snaps, 1),
+                      "x_realtime": round(snaps / (10e6 / SNAP), 2)}),
+          flush=True)
+    del xil, E_win      # free HBM before the planes-path stages
+    xr = jax.random.normal(kr, (T, N), jnp.float32)
+    xi = jax.random.normal(ki, (T, N), jnp.float32)
+
+    # ---- comparison stage: covariance (XLA chunk Grams) --------------
     cov = jax.jit(f32_matmuls(lambda xr, xi: cpx_ops.cov_from_stream_cpx(
         Cpx(xr, xi), SNAP, 0).re))
     cov_bytes = (2 * T * N * 4 + B * 2 * N * N * 4) / GB
@@ -165,15 +212,17 @@ def main():
     peaks_bytes = (3 * B * GRID * 4) / GB
     measure("normalize_peaks", peaks, (P,), peaks_bytes, 0.0)
 
-    # ---- fused full pipeline -------------------------------------------
+    # ---- full pipeline, PLANES entry (XLA cov + fused downstream) ----
     full = lambda xr, xi: pipe.jitted(xr, xi, cr, ci, Ar, Ai)  # noqa: E731
     full_bytes = cov_bytes + sub_bytes + scan_bytes + peaks_bytes
     full_flops = cov_flops + sub_flops + scan_flops
-    row = measure("full_pipeline", full, (xr, xi), full_bytes, full_flops)
+    row = measure("full_pipeline_planes", full, (xr, xi), full_bytes,
+                  full_flops)
     snaps = B / (row["ms_pipelined"] / 1e3)
-    print(json.dumps({"stage": "headline", "snapshots_per_s_pipelined":
-                      round(snaps, 1), "x_realtime":
-                      round(snaps / (10e6 / SNAP), 2)}), flush=True)
+    print(json.dumps({"stage": "headline_planes_entry",
+                      "snapshots_per_s_pipelined": round(snaps, 1),
+                      "x_realtime": round(snaps / (10e6 / SNAP), 2)}),
+          flush=True)
 
 
 if __name__ == "__main__":
