@@ -18,7 +18,30 @@ import numpy as np
 
 from doa_tpu.configs import DoaConfig, Estimator
 from doa_tpu.io import SourceSpec, synth_ula_iq
+from doa_tpu.ops.crb import crb_ula_deg
 from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+
+def _crb_rms_deg(cfg: DoaConfig, truth: np.ndarray, snr_db: float,
+                 amplitudes=None, correlated: bool = False) -> float:
+    """Stochastic CRB std, RMS-combined over sources (degrees) — the
+    floor the RMSE column is judged against. One pipeline window = one
+    estimate from cfg.snapshot_size array snapshots."""
+    if cfg.geometry.kind != "ula":
+        return float("nan")
+    corr = None
+    if correlated:
+        amps = (np.ones(len(truth)) if amplitudes is None
+                else np.asarray(amplitudes, float))
+        corr = np.outer(amps, amps).astype(complex)   # fully coherent
+    try:
+        std = crb_ula_deg(
+            truth, cfg.geometry.num_elements, cfg.geometry.norm_spacing,
+            snr_db, cfg.snapshot_size, amplitudes=amplitudes,
+            correlation=corr)
+        return float(np.sqrt(np.mean(std ** 2)))
+    except np.linalg.LinAlgError:
+        return float("nan")
 
 
 @dataclasses.dataclass
@@ -29,6 +52,7 @@ class EvalResult:
     bias_deg: float
     resolve_prob: float      # fraction of windows resolving ALL sources
     num_windows: int
+    crb_deg: float = float("nan")   # stochastic CRB std (RMS over sources)
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -106,6 +130,7 @@ def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
                 e, r = _match_errors(a, truth)
                 per_est.setdefault(est, []).append(e)
                 res_count.setdefault(est, []).append(r)
+        crb = _crb_rms_deg(cfg, truth, float(snr), amplitudes=amps)
         for est in per_est:
             errs = np.concatenate(per_est[est]) if per_est[est] else (
                 np.asarray([]))
@@ -116,7 +141,8 @@ def evaluate_ula(cfg: DoaConfig, truth_deg: Sequence[float],
                 if errs.size else float("nan"),
                 bias_deg=float(np.mean(errs)) if errs.size else float("nan"),
                 resolve_prob=float(np.mean(res)),
-                num_windows=int(nwin)))
+                num_windows=int(nwin),
+                crb_deg=crb))
     return results
 
 
@@ -132,6 +158,7 @@ class SeparationResult:
     rmse_deg: float
     resolve_prob: float
     num_windows: int
+    crb_deg: float = float("nan")
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -185,12 +212,14 @@ def evaluate_separation_sweep(cfg: DoaConfig, center_deg: float,
                                      gate_deg=max(0.5, sep / 3))
                 per_est.setdefault(est, []).append(e)
                 res_count.setdefault(est, []).append(r)
+        crb = _crb_rms_deg(cfg, truth, snr_db, correlated=correlated)
         for est in per_est:
             errs = np.concatenate(per_est[est]) if per_est[est] else (
                 np.asarray([]))
             res = np.concatenate(res_count[est])
             out_rows.append(SeparationResult(
                 separation_deg=float(sep), estimator=est,
+                crb_deg=crb,
                 rmse_deg=float(np.sqrt(np.mean(errs ** 2)))
                 if errs.size else float("nan"),
                 resolve_prob=float(np.mean(res)),

@@ -24,6 +24,7 @@ from doa_tpu.ops.capon import capon_spectrum
 from doa_tpu.ops.min_norm import min_norm_spectrum, root_min_norm
 from doa_tpu.ops.root_music import root_music
 from doa_tpu.ops.peaks import find_local_max
+from doa_tpu.ops.crb import crb_ula_deg, crb_ura_deg
 
 __all__ = [
     "ula_steering",
@@ -45,4 +46,6 @@ __all__ = [
     "capon_spectrum",
     "root_music",
     "find_local_max",
+    "crb_ula_deg",
+    "crb_ura_deg",
 ]

@@ -103,11 +103,15 @@ def test_two_process_sharded_pipeline_parity(tmp_path):
     repo = os.path.dirname(tests_dir)
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+    # Prepend the repo to PYTHONPATH: the worker must import doa_tpu
+    # even when the package isn't pip-installed in the container.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2", port, tests_dir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=repo)
+            cwd=repo, env=env)
         for pid in range(2)
     ]
     outs = []
