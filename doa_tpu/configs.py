@@ -26,6 +26,9 @@ class AvgMethod(enum.IntEnum):
 class Estimator(str, enum.Enum):
     MUSIC = "music"
     CAPON = "capon"          # Capon-MVDR — required by BASELINE north-star.
+    BARTLETT = "bartlett"    # conventional (delay-and-sum) beamformer —
+    #                          the non-adaptive baseline scan; works in
+    #                          beamspace and at any snapshot count
     ROOT_MUSIC = "root_music"
     ESPRIT = "esprit"        # grid-free shift-invariance (beyond reference)
     MIN_NORM = "min_norm"    # Kumaresan–Tufts (beyond reference): the

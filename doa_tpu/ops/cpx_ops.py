@@ -588,6 +588,26 @@ def music_spectrum_cpx(R: Cpx, A: Cpx, num_sources: int,
     return P
 
 
+def bartlett_spectrum_cpx(R: Cpx, A: Cpx, normalize: bool = True):
+    """Real-path Bartlett (conventional beamformer): P = ãᵀ E(R) ã
+    = Re(aᴴ R a) on the 2N embedding.
+
+    Layout: ONE flattened MXU matmul — E reshaped (B, 4N²) against the
+    grid's outer-product table K[nm, g] = ã_n ã_m (4N² × G, ~16 MB at
+    N=16/G=1024; XLA hoists it as a per-config constant). No (B, 2N, G)
+    intermediate ever materializes. Precision: the ambient pipeline
+    policy (cpx.f32_matmuls → tf32) with f32 accumulation — the same
+    class as every other scan einsum."""
+    E = embed_hermitian(R)                        # (B, 2N, 2N)
+    At = embed_vector(A).T                        # (2N, G)
+    K = (At[:, None, :] * At[None, :, :]).reshape(-1, At.shape[-1])
+    P = jnp.einsum("bq,qg->bg", E.reshape(E.shape[0], -1), K,
+                   preferred_element_type=jnp.float32)
+    if normalize:
+        P = P / jnp.max(P, axis=-1, keepdims=True)
+    return P
+
+
 def capon_spectrum_cpx(R: Cpx, A: Cpx, diag_load: float = 1e-4,
                        normalize: bool = True, method: str = "cholesky",
                        newton_iters: int = 24):

@@ -96,6 +96,9 @@ def _spectra_and_peaks(R, A, cfg: DoaConfig, x_rng, refine: bool):
             P = music_spectrum(R, A, cfg.num_sources)
         elif est == Estimator.CAPON:
             P = capon_spectrum(R, A, diag_load=cfg.capon_diag_load)
+        elif est == Estimator.BARTLETT:
+            from doa_tpu.ops.bartlett import bartlett_spectrum
+            P = bartlett_spectrum(R, A)
         elif est == Estimator.MIN_NORM:
             from doa_tpu.ops.min_norm import min_norm_spectrum
             P = min_norm_spectrum(R, A, cfg.num_sources)

@@ -188,6 +188,19 @@ def capon_spectrum(R, steering_mat, diag_load: float = 0.0, normalize: bool = Tr
     return P
 
 
+def bartlett_spectrum(R, steering_mat, normalize: bool = True):
+    """Conventional (Bartlett) beamformer spectrum P = Re(a^H R a),
+    per-snapshot max-normalized like MUSIC/Capon. R: (B, N, N);
+    steering_mat: (G, N) → P: (B, G). (Unit-modulus steering: a^H a = N
+    is constant across the grid, so the classic 1/N² scaling is absorbed
+    by the normalization.)"""
+    P = np.einsum("gn,bnm,gm->bg", steering_mat.conj(), R,
+                  steering_mat).real
+    if normalize:
+        P = P / P.max(axis=-1, keepdims=True)
+    return P
+
+
 def root_music(R, num_sources: int, norm_spacing: float):
     """Root-MUSIC for a ULA. R: (B, N, N) → theta: (B, K) degrees, sorted.
 
