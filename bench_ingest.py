@@ -41,7 +41,7 @@ def bench_framer():
 def bench_udp():
     from doa_tpu.io.socket_source import loopback_rate_bench
     for native in (False, True):
-        gbps, loss = loopback_rate_bench(seconds=1.0, native=native)
+        gbps, loss, _ = loopback_rate_bench(seconds=1.0, native=native)
         print(json.dumps({
             "metric": ("udp_loopback_ingest_native_GBps" if native
                        else "udp_loopback_ingest_python_GBps"),
@@ -49,6 +49,44 @@ def bench_udp():
             "loss_fraction": round(loss, 3),
             "note": "sender shares the container's 2 cores",
             "vs_required_1p28": round(gbps / 1.28, 2)}), flush=True)
+
+
+def bench_udp_e2e():
+    """The composed ingest chain with BOTH ends native (sendmmsg
+    transmitter + GIL-free drain + block assembly): socket → ring →
+    framed (block_samples, N) c64 blocks delivered to the sink. This is
+    the in-CI proof that the chain sustains the ≥1.28 GB/s north-star
+    on 2 cores (the earlier pure-Python sender was the bottleneck:
+    0.27 GB/s with 90% loss)."""
+    from doa_tpu.io.native import get_lib
+    from doa_tpu.io.socket_source import loopback_rate_bench
+    if get_lib() is None:                      # pragma: no cover
+        log("native library unavailable; skipping e2e row")
+        return
+    # Paced offered rates: a radio offers samples at line rate, so the
+    # sustainable number is the highest paced rate with ~zero loss (an
+    # unpaced sendmmsg blast measures 24 GB/s into a 16 MB socket
+    # buffer — kernel drop behavior, not the chain).
+    best = (0.0, 1.0, 0.0, 0.0)
+    for target in (1.4, 2.0, 2.8):
+        r = loopback_rate_bench(seconds=1.0, native=True,
+                                native_sender=True, target_gbps=target)
+        log(f"paced {target} GB/s → delivered {r[2]:.2f}, "
+            f"loss {r[1]:.1%}")
+        if r[1] < 0.01 and r[2] > best[2]:
+            best = (*r, target)
+    gbps, loss, delivered, target = best
+    print(json.dumps({
+        "metric": "udp_e2e_native_blocks_delivered_GBps",
+        "value": round(delivered, 2),
+        "offered_GBps": target,
+        "received_GBps": round(gbps, 2),
+        "loss_fraction": round(loss, 3),
+        "note": ("native sendmmsg tx (paced) + native drain rx, "
+                 "framed blocks, loss < 1%"),
+        "vs_required_1p28": round(delivered / 1.28, 2)}), flush=True)
+    if delivered < 1.28:                        # pragma: no cover
+        log(f"WARNING: e2e delivered {delivered:.2f} GB/s < 1.28 target")
 
 
 def bench_native_drain():
@@ -91,3 +129,4 @@ if __name__ == "__main__":
     bench_framer()
     bench_udp()
     bench_native_drain()
+    bench_udp_e2e()

@@ -53,6 +53,10 @@ def _build_and_load():
     lib.doa_udp_drain.argtypes = [ctypes.c_int, u8p, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_int, i64p]
     lib.doa_udp_drain.restype = ctypes.c_int64
+    lib.doa_udp_send.argtypes = [ctypes.c_int, u8p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64]
+    lib.doa_udp_send.restype = ctypes.c_int64
     return lib
 
 

@@ -167,10 +167,13 @@ class NativeUdpSource(UdpSource):
 
 def send_capture_udp(x: np.ndarray, addr, datagram_frames: int = 0,
                      sock: socket.socket | None = None,
-                     seq0: int = 0) -> int:
+                     seq0: int = 0, native: bool = False) -> int:
     """Send a (T, N) complex64 capture as sequence-numbered datagrams to
     `addr`; → next sequence number. Loopback test/sim transmitter (the
-    UHD-side stand-in)."""
+    UHD-side stand-in). native=True batches datagrams through the C++
+    sendmmsg sender (native/framer.cpp::doa_udp_send — 64 datagrams per
+    syscall, zero payload copies); on this 2-core container the Python
+    per-datagram loop IS the loopback bottleneck, not the receiver."""
     x = np.ascontiguousarray(x.astype(np.complex64, copy=False))
     T, N = x.shape
     if datagram_frames <= 0:
@@ -181,6 +184,20 @@ def send_capture_udp(x: np.ndarray, addr, datagram_frames: int = 0,
         sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 24)
     seq = seq0
     try:
+        if native:
+            from doa_tpu.io.native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                import ctypes
+                # doa_udp_send uses plain send(): bind the destination
+                # once (connect is idempotent for the same addr).
+                sock.connect(addr)
+                ptr = x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                nxt = lib.doa_udp_send(sock.fileno(), ptr, T, N * 8,
+                                       datagram_frames, seq0)
+                if nxt < 0:
+                    raise OSError("doa_udp_send failed")
+                return int(nxt)
         raw = x.view(np.uint8).reshape(T, N * 8)
         for i in range(0, T, datagram_frames):
             frames = raw[i:i + datagram_frames]
@@ -194,11 +211,22 @@ def send_capture_udp(x: np.ndarray, addr, datagram_frames: int = 0,
 
 
 def loopback_rate_bench(num_channels: int = 16, seconds: float = 0.5,
-                        datagram_frames: int = 0, native: bool = False):
+                        datagram_frames: int = 0, native: bool = False,
+                        native_sender: bool = False,
+                        target_gbps: float | None = None):
     """Measure achievable loopback UDP ingest rate into a counting sink
-    → (GB/s received, loss_fraction). The ≥1.28 GB/s north-star ingest
-    (16 ch × 10 Msps × 8 B) is checked by bench_ingest.py with this;
-    native=True uses the C++ receive loop."""
+    → (GB/s received, loss_fraction, GB/s delivered-as-blocks). The
+    ≥1.28 GB/s north-star ingest (16 ch × 10 Msps × 8 B) is checked by
+    bench_ingest.py with this; native=True uses the C++ receive loop,
+    native_sender=True the C++ sendmmsg transmitter (the composed
+    socket → drain → block-assembly chain, both ends native).
+
+    target_gbps paces the transmitter to a fixed offered rate — the
+    sustained-ingest experiment. An unpaced sender (native: 24 GB/s)
+    just overruns the 16 MB socket buffer and measures kernel drop
+    behavior, not the chain's sustainable rate; a real radio offers
+    samples at line rate (1.28 GB/s at the north-star operating point),
+    so loss at a paced offered rate IS the meaningful failure signal."""
 
     class _Count:
         def __init__(self):
@@ -210,19 +238,27 @@ def loopback_rate_bench(num_channels: int = 16, seconds: float = 0.5,
 
     sink = _Count()
     cls = NativeUdpSource if native else UdpSource
-    src = cls(sink, num_channels, block_samples=1 << 15).start()
+    block_samples = 1 << 15
+    src = cls(sink, num_channels, block_samples=block_samples).start()
     N = num_channels
     chunk = np.zeros((1 << 15, N), np.complex64)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 24)
     t0 = time.perf_counter()
     seq = 0
+    sent = 0
     while time.perf_counter() - t0 < seconds:
         seq = send_capture_udp(chunk, src.addr, datagram_frames,
-                               sock=sock, seq0=seq)
+                               sock=sock, seq0=seq, native=native_sender)
+        sent += chunk.nbytes
+        if target_gbps:
+            ahead = sent / (target_gbps * 1e9) - (time.perf_counter() - t0)
+            if ahead > 0:
+                time.sleep(ahead)
     dt = time.perf_counter() - t0
     time.sleep(0.2)
     src.stop()
     sock.close()
     gbps = src.stats.bytes_in / dt / 1e9
-    return gbps, src.stats.loss_fraction
+    delivered = sink.blocks * block_samples * N * 8 / dt / 1e9
+    return gbps, src.stats.loss_fraction, delivered

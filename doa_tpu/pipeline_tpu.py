@@ -160,6 +160,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     want_unitary = (Estimator.UNITARY_ESPRIT in cfg.estimators
                     and cfg.geometry.kind == "ula")
     need_R = (Estimator.CAPON in cfg.estimators
+              or Estimator.BARTLETT in cfg.estimators
               or Estimator.ESPRIT in cfg.estimators
               or want_unitary or want_root or return_covariance)
     # "auto" composes the measured-fastest path per backend: the fused
@@ -388,8 +389,13 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     continue
                 P = cpx_ops.capon_spectrum_cpx(
                     R, A, diag_load=cfg.capon_diag_load)
-            else:
-                continue
+            elif est == Estimator.BARTLETT:
+                P = cpx_ops.bartlett_spectrum_cpx(R, A)
+            elif est in (Estimator.ROOT_MUSIC, Estimator.ESPRIT,
+                         Estimator.UNITARY_ESPRIT):
+                continue  # grid-free; handled after the scan loop
+            else:  # pragma: no cover — configs validate estimators
+                raise ValueError(f"unknown estimator {est}")
             v, l = _peaks(P)
             if return_spectra:
                 spectra[est.value] = P

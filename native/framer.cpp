@@ -10,6 +10,7 @@
 // Reference analog: the GNU Radio runtime's ring-buffer/ingest layer and
 // the fork's host↔accelerator FIFO marshalling (SURVEY §2.2 F3).
 
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -18,6 +19,7 @@
 
 #include <poll.h>
 #include <sys/socket.h>
+#include <sys/uio.h>
 
 namespace {
 
@@ -125,6 +127,65 @@ int64_t doa_udp_drain(int fd, uint8_t* out, int64_t capacity,
     written += payload;
   }
   return written;
+}
+
+// Batched UDP sender (sendmmsg, scatter-gather): the loopback e2e
+// ingest proof needs a transmitter that does not burn a whole core on
+// per-datagram Python sendto()s — on this 2-core container the pure-
+// Python sender IS the bottleneck (measured <0.3 GB/s with 90% loss
+// while the native drain sustains >3 GB/s). Headers are built on the
+// stack and the payload is referenced in place (iovec), so the capture
+// buffer is never copied; up to 64 datagrams per syscall.
+//
+//   fd              datagram socket, connect()ed to the destination
+//   data            frames*frame_bytes contiguous interleaved payload
+//   frames          total frames (one frame = one time-step x nch c64)
+//   frame_bytes     bytes per frame (nch * 8)
+//   datagram_frames frames per datagram (payload <= 65507-16 bytes)
+//   seq0            first sequence number
+// Returns the next sequence number, or -1 on socket error.
+int64_t doa_udp_send(int fd, const uint8_t* data, int64_t frames,
+                     int64_t frame_bytes, int64_t datagram_frames,
+                     int64_t seq0) {
+  const uint32_t kMagic = 0x44304141u;
+  constexpr int kBatch = 64;
+  struct Hdr {
+    uint32_t magic;
+    uint32_t nsamp;
+    uint64_t seq;
+  };
+  static_assert(sizeof(Hdr) == 16, "wire header is 16 bytes");
+  Hdr hdrs[kBatch];
+  struct iovec iov[kBatch][2];
+  struct mmsghdr msgs[kBatch];
+  int64_t seq = seq0;
+  int64_t off = 0;
+  while (off < frames) {
+    int n = 0;
+    for (; n < kBatch && off < frames; ++n) {
+      int64_t take =
+          frames - off < datagram_frames ? frames - off : datagram_frames;
+      hdrs[n] = {kMagic, (uint32_t)take, (uint64_t)seq};
+      iov[n][0] = {&hdrs[n], sizeof(Hdr)};
+      iov[n][1] = {const_cast<uint8_t*>(data) + off * frame_bytes,
+                   (size_t)(take * frame_bytes)};
+      std::memset(&msgs[n], 0, sizeof(mmsghdr));
+      msgs[n].msg_hdr.msg_iov = iov[n];
+      msgs[n].msg_hdr.msg_iovlen = 2;
+      ++seq;
+      off += take;
+    }
+    int sent = 0;
+    while (sent < n) {
+      int r = sendmmsg(fd, msgs + sent, n - sent, 0);
+      if (r < 0) {
+        if (errno == EINTR || errno == ENOBUFS || errno == EAGAIN) continue;
+        return -1;
+      }
+      sent += r;
+    }
+  }
+  return seq;
 }
 
 }  // extern "C"

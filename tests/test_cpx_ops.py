@@ -108,6 +108,17 @@ def test_music_spectrum_cpx_parity():
     np.testing.assert_allclose(P_cpx, P_ref, rtol=5e-3, atol=5e-4)
 
 
+def test_bartlett_spectrum_cpx_parity():
+    x = _iq([60.0, 110.0], 8, 16384)
+    R = golden.sample_covariance(golden.frame_samples(x, 2048, 0))
+    grid = np.linspace(0, 180, 721)
+    A = golden.ula_steering(grid, 8, 0.5).astype(np.complex64)
+    P_ref = golden.bartlett_spectrum(R, A)
+    P_cpx = np.asarray(cpx_ops.bartlett_spectrum_cpx(
+        Cpx.from_complex(R), Cpx.from_complex(A)))
+    np.testing.assert_allclose(P_cpx, P_ref, rtol=5e-3, atol=5e-4)
+
+
 def test_capon_spectrum_cpx_parity():
     x = _iq([60.0, 110.0], 8, 16384)
     R = golden.sample_covariance(golden.frame_samples(x, 2048, 0))

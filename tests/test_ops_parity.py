@@ -92,6 +92,18 @@ def test_capon_spectrum_matches_golden():
     np.testing.assert_allclose(P_j, P_g, rtol=2e-3, atol=2e-4)
 
 
+def test_bartlett_spectrum_matches_golden():
+    x = _iq([60.0, 110.0], 8, 16384)
+    R = golden.sample_covariance(golden.frame_samples(x, 2048, 0))
+    grid = np.linspace(0, 180, 721)
+    A_g = golden.ula_steering(grid, 8, 0.5)
+    P_g = golden.bartlett_spectrum(R, A_g)
+    from doa_tpu.ops.bartlett import bartlett_spectrum
+    A_j = ops.ula_steering(grid, 8, 0.5)
+    P_j = np.asarray(bartlett_spectrum(jnp.asarray(R), A_j))
+    np.testing.assert_allclose(P_j, P_g, rtol=2e-3, atol=2e-4)
+
+
 def test_root_music_matches_golden():
     x = _iq([60.0, 110.0], 8, 16384, snr=15, seed=7)
     R = golden.sample_covariance(golden.frame_samples(x, 2048, 0))

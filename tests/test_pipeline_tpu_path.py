@@ -38,6 +38,37 @@ def test_tpu_path_matches_complex_path():
         np.asarray(ref.root_music_angles), atol=0.05)
 
 
+def test_tpu_path_bartlett():
+    # Regression: BARTLETT used to fall through the TPU pipeline's
+    # estimator dispatch silently (no spectrum, no peaks). It must
+    # produce output on BOTH paths and match the complex reference,
+    # including through the fused Pallas fast path (need_R plumbing).
+    cfg = PRESETS["c2_ula8_2src"]
+    cfg = dataclasses.replace(
+        cfg, estimators=(Estimator.MUSIC, Estimator.BARTLETT),
+        subspace_method="eigh")
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1),
+         SourceSpec(theta_deg=110.0, freq_norm=0.31)],
+        8, 0.5, 8 * 2048, snr_db=10, seed=1)
+    ref = build_pipeline(cfg)(x)
+    tpu = build_pipeline_tpu(cfg)(x)
+    assert "bartlett" in tpu.spectra and "bartlett" in tpu.peak_angles
+    np.testing.assert_allclose(
+        np.asarray(tpu.spectra["bartlett"]),
+        np.asarray(ref.spectra["bartlett"]), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(tpu.peak_angles["bartlett"]),
+        np.asarray(ref.peak_angles["bartlett"]), atol=0.05)
+    # fused fast path (power subspace + pallas cov): BARTLETT needs R
+    fast = build_pipeline_tpu(dataclasses.replace(
+        cfg, subspace_method="power", cov_impl="pallas"))(x)
+    assert "bartlett" in fast.peak_angles
+    np.testing.assert_allclose(
+        np.asarray(fast.peak_angles["bartlett"]),
+        np.asarray(ref.peak_angles["bartlett"]), atol=0.1)
+
+
 def test_tpu_path_overlap_and_smoothing():
     cfg = PRESETS["c3_ula16_calib_smooth"]
     cfg = dataclasses.replace(cfg, overlap=512, subspace_method="eigh")

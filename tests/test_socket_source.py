@@ -7,8 +7,7 @@ import numpy as np
 
 import golden
 from doa_tpu import PRESETS
-from doa_tpu.io.socket_source import (
-    UdpSource, loopback_rate_bench, send_capture_udp)
+from doa_tpu.io.socket_source import UdpSource, send_capture_udp
 from doa_tpu.io.stream import StreamingDriver
 from doa_tpu.pipeline_tpu import build_pipeline_tpu
 
@@ -56,13 +55,40 @@ def test_udp_sequence_gap_detection():
     assert src.stats.packets_in == 10
 
 
-def test_udp_loopback_rate():
-    """North-star ingest is 1.28 GB/s (16 ch × 10 Msps × 8 B); loopback
-    UDP on this container should clear a healthy fraction of it — the
-    full-rate number is bench_ingest.py's job on quiet hardware."""
-    gbps, loss = loopback_rate_bench(seconds=0.4)
-    print(f"loopback UDP ingest: {gbps:.2f} GB/s, loss {loss:.1%}")
-    assert gbps > 0.3, f"only {gbps:.2f} GB/s"
+def test_native_sender_wire_format():
+    """The C++ sendmmsg transmitter (doa_udp_send) must produce exactly
+    the Python sender's wire format: same sequence numbering, same
+    payload bytes, zero loss at test rates. (Rate thresholds live in
+    bench_ingest.py, NOT here — wall-clock perf assertions are flaky on
+    a shared 2-core container.)"""
+    from doa_tpu.io.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    class _Capture:
+        def __init__(self):
+            self.blocks = []
+
+        def push(self, b):
+            self.blocks.append(b)
+            return True
+
+    sink = _Capture()
+    src = UdpSource(sink, num_channels=4, block_samples=512).start()
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((2048, 4))
+         + 1j * rng.standard_normal((2048, 4))).astype(np.complex64)
+    nxt = send_capture_udp(x, src.addr, datagram_frames=100, native=True)
+    assert nxt == -(-2048 // 100)  # 21 datagrams, seq numbering matches
+    deadline = time.time() + 10
+    while len(sink.blocks) < 4 and time.time() < deadline:
+        time.sleep(0.05)
+    src.stop()
+    assert src.stats.packets_lost == 0, f"stats: {src.stats}"
+    got = np.concatenate(sink.blocks, axis=0)
+    np.testing.assert_array_equal(got, x[:got.shape[0]])
+    assert got.shape[0] == 2048
 
 
 def test_native_udp_source_end_to_end():
