@@ -246,6 +246,13 @@ class DoaConfig:
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
     # — fine above threshold SNR, see docs/ACCURACY.md).
     cov_dtype: str = "float32"
+    # Overlap-halo exchange in the SHARDED pipeline (SURVEY §2.5 ring
+    # row): "xla" = lax.ppermute collective (default; zero-fills the
+    # last shard), "pallas" = fused ICI async-remote-copy kernel
+    # (ops/pallas/ring.py — pod hardware; ring-wraps into the last
+    # shard, whose tail windows are invalid either way, so valid-window
+    # outputs are identical). Single-chip pipelines ignore it.
+    halo_impl: str = "xla"
 
     def __post_init__(self):
         if not (0 <= self.overlap < self.snapshot_size):
@@ -279,6 +286,9 @@ class DoaConfig:
         if self.cov_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")
+        if self.halo_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"halo_impl {self.halo_impl!r} not 'xla' | 'pallas'")
         if self.power_schedule not in ("e1", "e2", "e4"):
             raise ValueError(
                 f"power_schedule {self.power_schedule!r} not one of "

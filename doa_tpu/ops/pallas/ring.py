@@ -2,7 +2,7 @@
 patterns [1][2] — right-permute via `make_async_remote_copy`).
 
 The sharded pipeline's overlap halo is an `lax.ppermute` under shard_map
-(parallel.sharded._halo_exchange) — XLA schedules that collective as its
+(the `impl="xla"` branch below) — XLA schedules that collective as its
 own phase. This kernel is the fused alternative: each device DMAs its
 local block into the output AND async-remote-copies its head `overlap`
 rows straight into the LEFT neighbor's halo slot over the ICI, so the
@@ -16,8 +16,10 @@ HARDWARE SCOPE (honest): executing this requires ≥2 TPU devices on real
 ICI. This container exposes one chip, and Pallas remote DMAs have no CPU
 interpreter, so CI covers structure only (shapes/wiring via eval_shape;
 tests/test_ring_pallas.py) and a TPU-slice test is included but skipped
-off-hardware. The ppermute path remains the tested default
-(`build_sharded_pipeline`); switch with halo_impl="pallas" on a pod.
+off-hardware. The ppermute path remains the tested default; switch with
+`DoaConfig(halo_impl="pallas")` — `build_sharded_pipeline` dispatches
+through `halo_exchange` below, and the driver dryrun builds (traces) the
+pallas variant on every run.
 """
 
 from __future__ import annotations
@@ -58,7 +60,8 @@ def halo_exchange_pallas(plane, overlap: int, axis_name: str):
     """Per-shard (T_loc, N) plane → (T_loc + overlap, N) with the right
     neighbor's head rows appended, as ONE fused Pallas program (local
     DMA + async remote copy over ICI). Call inside shard_map on the
-    time axis; drop-in for parallel.sharded._halo_exchange on pods."""
+    time axis; `build_sharded_pipeline` selects it via
+    `DoaConfig(halo_impl="pallas")` on pods."""
     T_loc, N = plane.shape
     return pl.pallas_call(
         functools.partial(_halo_kernel, overlap=overlap,

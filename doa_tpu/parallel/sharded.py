@@ -40,16 +40,11 @@ def num_valid_windows(T: int, cfg: DoaConfig) -> int:
     return 0 if T < S else (T - S) // hop + 1
 
 
-def _halo_exchange(plane, overlap: int, axis_name: str):
-    """Append the first `overlap` rows of the RIGHT neighbor's block.
-    The last shard receives zeros — its tail windows are invalid anyway."""
-    n = jax.lax.axis_size(axis_name)
-    if overlap == 0 or n == 1:
-        return plane
-    head = plane[:overlap]
-    perm = [(i + 1, i) for i in range(n - 1)]  # device i+1 → device i
-    halo = jax.lax.ppermute(head, axis_name, perm)
-    return jnp.concatenate([plane, halo], axis=0)
+# Halo exchange (append the right neighbor's first `overlap` rows) is
+# dispatched by ops.pallas.ring.halo_exchange: cfg.halo_impl="xla" →
+# lax.ppermute (default; last shard zero-filled), "pallas" → fused ICI
+# async-remote-copy kernel (pods; last shard ring-wrapped). Tail windows
+# of the last shard are invalid either way (num_valid_windows).
 
 
 def _local_peaks_merge_1d(P_loc, num_max_vals: int, x_rng, refine: bool):
@@ -138,11 +133,22 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     comm volume O(B·G) per device, independent of F."""
     if cfg.wideband.enabled:
         return _build_sharded_wideband(cfg, mesh, refine_peaks)
-    if cfg.beamspace.enabled:
-        raise NotImplementedError(
-            "beamspace is not wired into the sharded pipeline yet "
-            "(use build_pipeline_tpu)")
     A_host, x_rng = _steering_matrix(cfg)
+    bs = cfg.beamspace.enabled
+    if bs:
+        # Beamspace composes with TP by REPLICATING the tiny (N, Nb)
+        # beam matrix and sharding the PROJECTED steering grid: the
+        # covariance stays element-space per shard (halo/psum layout
+        # unchanged), each device projects R → BᴴRB once (a constant-
+        # folded N×Nb einsum pair), and every downstream subspace/scan
+        # tensor shrinks N → Nb — TP shards exactly the axis beamspace
+        # thins, so the two compose multiplicatively.
+        from doa_tpu.ops.beamspace import (beamspace_steering,
+                                           dft_beam_matrix)
+        Bm_host = dft_beam_matrix(
+            cfg.geometry.num_elements, cfg.beamspace.num_beams,
+            cfg.beamspace.center_deg, cfg.geometry.norm_spacing)
+        A_host = beamspace_steering(A_host, Bm_host)
     S, hop, overlap = cfg.snapshot_size, cfg.hop, cfg.overlap
     fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
     n_grid = mesh.shape[GRID_AXIS]
@@ -168,8 +174,11 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                               x_rng[1], refine=refine_peaks)
 
     def shard_fn(xr, xi, cr, ci, Ar, Ai):
-        x = Cpx(_halo_exchange(xr, overlap, SNAP_AXIS),
-                _halo_exchange(xi, overlap, SNAP_AXIS))
+        from doa_tpu.ops.pallas.ring import halo_exchange
+        x = Cpx(halo_exchange(xr, overlap, SNAP_AXIS,
+                              impl=cfg.halo_impl),
+                halo_exchange(xi, overlap, SNAP_AXIS,
+                              impl=cfg.halo_impl))
         # Correction folded into R ((c cᴴ) ∘ R, exact — see
         # cpx_ops.apply_correction_to_cov) BEFORE FB/smoothing: two fewer
         # full passes over the time-sharded sample planes per device.
@@ -179,6 +188,9 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             R = cpx_ops.forward_backward_cpx(R)
         if cfg.smoothing.enabled:
             R = cpx_ops.spatial_smooth_cpx(R, cfg.smoothing.subarray_size)
+        if bs:
+            from doa_tpu.ops.beamspace import beamspace_cov_cpx
+            R = beamspace_cov_cpx(R, Bm_host)
         A = Cpx(Ar, Ai)
         V_emb = None
         if use_power and (Estimator.MUSIC in cfg.estimators
@@ -225,8 +237,11 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             elif est == Estimator.CAPON:
                 P_loc = cpx_ops.capon_spectrum_cpx(
                     R, A, diag_load=cfg.capon_diag_load, normalize=False)
+            elif est == Estimator.BARTLETT:
+                P_loc = cpx_ops.bartlett_spectrum_cpx(
+                    R, A, normalize=False)
             else:
-                continue
+                continue  # grid-free; handled after the scan loop
             if is_2d:
                 # 2-D az/el neighborhoods span grid shards: gather the
                 # full spectrum row (the O(k) path below is 1-D only).
@@ -270,7 +285,7 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     out_specs = {}
     for est in cfg.estimators:
         if est in (Estimator.MUSIC, Estimator.CAPON,
-                   Estimator.MIN_NORM):
+                   Estimator.MIN_NORM, Estimator.BARTLETT):
             out_specs[f"spectrum_{est.value}"] = (
                 P(SNAP_AXIS, None) if is_2d else P(SNAP_AXIS, GRID_AXIS))
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)

@@ -264,15 +264,58 @@ def test_sharded_new_estimators_parity():
     np.testing.assert_allclose(u_s, u_r, atol=0.05)
 
 
-def test_sharded_rejects_unsupported_compositions():
+def test_sharded_halo_impl_knob():
+    """cfg.halo_impl plumbs through build_sharded_pipeline to
+    ops.pallas.ring.halo_exchange: "xla" (explicit) must match the
+    default bit-exactly, and "pallas" must BUILD the full production
+    program on the 8-device mesh with identical output shapes —
+    executing the remote-DMA kernel needs real ICI (the TPU-gated test
+    in test_ring_pallas.py covers that)."""
+    x = _capture()
+    mesh = make_mesh(MeshSpec(4, 2))
+    B_valid = num_valid_windows(x.shape[0], CFG)
+    out_default = build_sharded_pipeline(CFG, mesh)(x)
+    out_xla = build_sharded_pipeline(
+        dataclasses.replace(CFG, halo_impl="xla"), mesh)(x)
+    for k in out_default:
+        np.testing.assert_array_equal(
+            np.asarray(out_default[k])[:B_valid],
+            np.asarray(out_xla[k])[:B_valid])
+    pipe_p = build_sharded_pipeline(
+        dataclasses.replace(CFG, halo_impl="pallas"), mesh)
+    T, N = x.shape
+    G = CFG.grid.num_points
+    s = jax.ShapeDtypeStruct
+    abstract = jax.eval_shape(
+        pipe_p.jitted,
+        s((T, N), jnp.float32), s((T, N), jnp.float32),
+        s((N,), jnp.float32), s((N,), jnp.float32),
+        s((G, N), jnp.float32), s((G, N), jnp.float32))
+    for k, v in out_default.items():
+        assert abstract[k].shape == np.asarray(v).shape, k
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(4, 2), MeshSpec(2, 4)])
+def test_sharded_beamspace_parity(spec):
+    """Beamspace through the sharded pipeline (TP shards the projected
+    grid, the tiny beam matrix is replicated): peaks must match the
+    single-device beamspace path for MUSIC, Capon and Bartlett."""
     from doa_tpu.configs import BeamspaceSpec
 
-    mesh = make_mesh(MeshSpec(4, 2))
-    cfg_bs = dataclasses.replace(
-        CFG, estimators=(Estimator.MUSIC,),
-        beamspace=BeamspaceSpec(num_beams=4))
-    with pytest.raises(NotImplementedError, match="beamspace"):
-        build_sharded_pipeline(cfg_bs, mesh)
+    cfg = dataclasses.replace(
+        CFG, estimators=(Estimator.MUSIC, Estimator.CAPON,
+                         Estimator.BARTLETT),
+        beamspace=BeamspaceSpec(num_beams=5, center_deg=90.0),
+        num_max_vals=2)
+    x = _capture()
+    mesh = make_mesh(spec)
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    ref = build_pipeline_tpu(cfg)(x)
+    for est in ("music", "capon", "bartlett"):
+        a_s = np.sort(np.asarray(out[f"peak_angles_{est}"])[:B_valid], -1)
+        a_r = np.sort(np.asarray(ref.peak_angles[est]), -1)
+        np.testing.assert_allclose(a_s, a_r, atol=0.05)
 
 
 def test_sharded_cssm_auto_parity():
