@@ -206,6 +206,22 @@ class DoaConfig:
     # in DoaResult.subspace_residual for observability.
     subspace_check: bool = False
     subspace_tol: float = 0.05
+    # AUTOMATIC subspace escalation (default ON; power path, e1
+    # schedule): the final iteration's apply product gives each
+    # window's invariance residual and eigengap ratio γ (min captured
+    # Rayleigh / noise-floor mean) for free; if any window has residual
+    # > subspace_tol or γ < subspace_escalate_gap — the slow-
+    # convergence regime of extreme source imbalance (≥ ~20 dB) or
+    # threshold SNR, where the default 8 iterations converge to a
+    # wrong-but-invariant subspace that the residual alone cannot see —
+    # the iteration runs subspace_escalate_extra more MGS rounds under
+    # lax.cond. Healthy captures pay only tiny detector matmuls, never
+    # an extra pass over E. Measured: the 25 dB imbalance row matches
+    # the eigh column at default power_iters (docs/ACCURACY.md);
+    # benign-regime γ ≥ 16 (no spurious escalation down to 0 dB SNR).
+    subspace_escalate: bool = True
+    subspace_escalate_gap: float = 3.0
+    subspace_escalate_extra: int = 40
     # WARM-START subspace iteration (the DEFAULT on the fused
     # narrowband path and the wideband incoherent paths, for window
     # batches ≥ 32): initialize every window's iteration from the
@@ -335,6 +351,16 @@ class DoaConfig:
     def power_squarings(self) -> int:
         """Squaring passes for the power schedule (e1→0, e2→1, e4→2)."""
         return {"e1": 0, "e2": 1, "e4": 2}[self.power_schedule]
+
+    @property
+    def escalate_kwargs(self) -> dict:
+        """kwargs for the cpx_ops signal-subspace escalation detector
+        (see subspace_escalate above; extra=0 disables)."""
+        return dict(
+            escalate_extra=(self.subspace_escalate_extra
+                            if self.subspace_escalate else 0),
+            escalate_gap=self.subspace_escalate_gap,
+            escalate_tol=self.subspace_tol)
 
     @property
     def hop(self) -> int:

@@ -178,7 +178,10 @@ def noise_projector_cpx(R: Cpx, num_sources: int) -> Cpx:
 
 
 def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 8,
-                             ns_iters: int = 12, squarings: int = 0):
+                             ns_iters: int = 12, squarings: int = 0,
+                             escalate_extra: int = 0,
+                             escalate_gap: float = 3.0,
+                             escalate_tol: float = 0.05):
     """Orthonormal basis of the embedded SIGNAL subspace via subspace
     (power) iteration: (B, 2N, 2K) f32.
 
@@ -199,16 +202,25 @@ def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 8,
     """
     return signal_subspace_from_E(embed_hermitian(R), num_sources,
                                   iters=iters, ns_iters=ns_iters,
-                                  squarings=squarings)
+                                  squarings=squarings,
+                                  escalate_extra=escalate_extra,
+                                  escalate_gap=escalate_gap,
+                                  escalate_tol=escalate_tol)
 
 
 def signal_subspace_from_E(E, num_sources: int, iters: int = 8,
-                           ns_iters: int = 12, squarings: int = 0):
+                           ns_iters: int = 12, squarings: int = 0,
+                           escalate_extra: int = 0,
+                           escalate_gap: float = 3.0,
+                           escalate_tol: float = 0.05):
     """As signal_subspace_embedded but from pre-embedded E: f32[B,2N,2N]
     (e.g. the fused covariance kernel's output)."""
     return jnp.swapaxes(
         signal_subspace_from_E_T(E, num_sources, iters=iters,
-                                 ns_iters=ns_iters, squarings=squarings),
+                                 ns_iters=ns_iters, squarings=squarings,
+                                 escalate_extra=escalate_extra,
+                                 escalate_gap=escalate_gap,
+                                 escalate_tol=escalate_tol),
         -1, -2)
 
 
@@ -233,7 +245,9 @@ def _mgs_rows(Vt, passes: int = 1):
 
 
 def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
-                      init=None):
+                      init=None, escalate_extra: int = 0,
+                      escalate_gap: float = 3.0,
+                      escalate_tol: float = 0.05):
     """MGS-orthonormalized subspace iteration (the r2-s4 measured
     winner): 5.8 ms vs 20.7 (NS e1@8) / 9.6 (NS e4@8) at the headline
     shape, AND robust — planted-spectrum bad-rate 0 through eigenvalue
@@ -249,7 +263,22 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     init given, `iters` counts the E-applies from that basis: each
     iteration shrinks the subspace angle by (λ_{K+1}/λ_K), so a good
     init needs far fewer passes over E than the cold Ep-rows start —
-    the E reads ARE the stage cost at production shapes."""
+    the E reads ARE the stage cost at production shapes.
+
+    escalate_extra > 0 (squarings=0 only) arms AUTOMATIC ESCALATION for
+    slow-convergence windows (SURVEY §7.3 hard part 1 — extreme source
+    imbalance / threshold SNR): the final apply product gives, for
+    free, each window's invariance residual AND its eigengap ratio
+    γ = min captured Rayleigh / estimated noise-floor mean. The
+    residual alone is BLIND to the imbalance failure (the iterate
+    converges to a wrong-but-invariant subspace when the weak signal
+    eigenvalue nearly degenerates with noise — measured residual ~1e-3
+    at 25 dB imbalance with the subspace 1.4 off in projector norm),
+    but γ separates cleanly: ~1.3-1.6 at 25 dB imbalance vs ≥16 in
+    benign regimes. Any window with residual > escalate_tol or
+    γ < escalate_gap triggers `escalate_extra` more MGS rounds for the
+    whole batch under lax.cond — the healthy common case pays only the
+    tiny (B, 2K, 2K)-sized detector matmuls, never an extra E pass."""
     K2 = 2 * num_sources
     n2 = E.shape[-1]
     tr = jnp.einsum("bii->b", E)[:, None, None] / n2
@@ -263,18 +292,52 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     else:
         Vt = _mgs_rows(Ep[..., :K2, :])
         rounds = max(1, iters // (1 << squarings))
+    Vt_prev = W = None
     for r in range(rounds - 1):
-        Vt = _mgs_rows(
-            jnp.einsum("bkn,bnm->bkm", Vt, Ep,
-                       preferred_element_type=jnp.float32),
-            passes=2 if r == rounds - 2 else 1)
-    return Vt
+        W = jnp.einsum("bkn,bnm->bkm", Vt, Ep,
+                       preferred_element_type=jnp.float32)
+        Vt_prev = Vt
+        Vt = _mgs_rows(W, passes=2 if r == rounds - 2 else 1)
+    if escalate_extra <= 0 or squarings > 0:
+        return Vt
+    if W is None:                   # iters ≤ 1 edge: one detector apply
+        Vt_prev = Vt
+        W = jnp.einsum("bkn,bnm->bkm", Vt, Ep,
+                       preferred_element_type=jnp.float32)
+    # Detector (all free/small given W = Vt_prev @ Ep, Vt_prev
+    # orthonormal): Rayleighs of the pre-final basis, noise-floor mean
+    # from the normalized trace (tr(Ep) = 2N by construction), and the
+    # span-invariance residual of Vt_prev.
+    lam = jnp.sum(W * Vt_prev, axis=-1)                 # (B, 2K)
+    noise_mean = (n2 - jnp.sum(lam, axis=-1)) / (n2 - K2)
+    gamma = jnp.min(lam, axis=-1) / jnp.maximum(noise_mean, 1e-30)
+    C = jnp.einsum("bkm,blm->bkl", W, Vt_prev,
+                   preferred_element_type=jnp.float32)  # Vᵀ Ep V
+    resid = W - jnp.einsum("bkl,blm->bkm", C, Vt_prev,
+                           preferred_element_type=jnp.float32)
+    num = jnp.sqrt(jnp.sum(resid * resid, axis=(-2, -1)))
+    den = jnp.sqrt(jnp.sum(W * W, axis=(-2, -1)))
+    res = num / jnp.maximum(den, 1e-30)
+    bad = (res > escalate_tol) | (gamma < escalate_gap)
+
+    def _escalate(v):
+        def body(_, vt):
+            return _mgs_rows(
+                jnp.einsum("bkn,bnm->bkm", vt, Ep,
+                           preferred_element_type=jnp.float32),
+                passes=2)
+        return jax.lax.fori_loop(0, escalate_extra, body, v)
+
+    return jax.lax.cond(jnp.any(bad), _escalate, lambda v: v, Vt)
 
 
 def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
                              ns_iters: int = 12, ns_iters_mid: int = 8,
                              squarings: int = 0, pack: int = 4,
-                             orth: str = "mgs", init=None):
+                             orth: str = "mgs", init=None,
+                             escalate_extra: int = 0,
+                             escalate_gap: float = 3.0,
+                             escalate_tol: float = 0.05):
     """Embedded signal subspace in TRANSPOSED layout: Vt f32[B, 2K, 2N]
     with Vt·Vtᵀ = I — the production fast form.
 
@@ -329,9 +392,14 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
     wrong subspaces on structured signals (docs/PERF.md)."""
     if orth == "mgs":
         return _subspace_E_T_mgs(E, num_sources, iters, squarings,
-                                 init=init)
+                                 init=init,
+                                 escalate_extra=escalate_extra,
+                                 escalate_gap=escalate_gap,
+                                 escalate_tol=escalate_tol)
     if init is not None:
         raise ValueError("warm-start init requires orth='mgs'")
+    if escalate_extra > 0:
+        raise ValueError("escalation requires orth='mgs'")
     K2 = 2 * num_sources
     PACK = pack
 

@@ -145,9 +145,10 @@ def crb_ura_deg(az_deg: Sequence[float], el_deg: Sequence[float],
 def crb_single_source_ula_closed_form(theta_deg: float, num_elements: int,
                                       norm_spacing: float, snr_db: float,
                                       n_snapshots: int) -> float:
-    """Textbook single-source deterministic CRB std (degrees):
-    var = σ² / (2n·p·(2πd sinθ)²·N(N²−1)/12). Used by the tests to pin
-    the generic machinery."""
+    """Textbook single-source deterministic CRB std (degrees), UNIT
+    source power: var = σ² / (2n·(2πd sinθ)²·N(N²−1)/12). For non-unit
+    power p, divide σ² by p (equivalently fold p into snr_db). Used by
+    the tests to pin the generic machinery."""
     N = num_elements
     sigma2 = 10.0 ** (-snr_db / 10.0)
     s = (2.0 * np.pi * norm_spacing

@@ -100,7 +100,9 @@ def subband_subspaces(R: Cpx, cfg: DoaConfig):
         return subband_subspaces_from_E(embed_hermitian(R), cfg)
     return jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
         r, cfg.num_sources, iters=cfg.power_iters,
-        squarings=cfg.power_squarings))(R)
+        squarings=cfg.power_squarings,
+        **(cfg.escalate_kwargs
+           if cfg.power_squarings == 0 else {})))(R)
 
 
 def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
@@ -119,12 +121,14 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
     if cfg.subspace_warm_start and B >= 32:
         Vt_bar = cpx_ops.signal_subspace_from_E_T(
             jnp.mean(E_sub, axis=1), cfg.num_sources,
-            iters=max(cfg.power_iters, 8))           # (F, 2K, 2N)
+            iters=max(cfg.power_iters, 8),
+            **cfg.escalate_kwargs)                   # (F, 2K, 2N)
         init = jnp.broadcast_to(
             Vt_bar[:, None], (F, B, K2, n2)).reshape(F * B, K2, n2)
         Vt = cpx_ops.signal_subspace_from_E_T(
             E_sub.reshape(F * B, n2, n2), cfg.num_sources,
-            iters=cfg.power_iters_warm, init=init)
+            iters=cfg.power_iters_warm, init=init,
+            **cfg.escalate_kwargs)
         return jnp.swapaxes(Vt, -1, -2).reshape(F, B, n2, K2)
     V = cpx_ops.signal_subspace_from_E(
         E_sub.reshape(F * B, n2, n2), cfg.num_sources,

@@ -198,7 +198,9 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                           or Estimator.ROOT_MUSIC in cfg.estimators):
             V_emb = cpx_ops.signal_subspace_embedded(
                 R, cfg.num_sources, iters=cfg.power_iters,
-                squarings=cfg.power_squarings)
+                squarings=cfg.power_squarings,
+                **(cfg.escalate_kwargs
+                   if cfg.power_squarings == 0 else {}))
         M_proj = None
         out = {}
         for est in cfg.estimators:
@@ -687,7 +689,9 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
         if cfg.subspace_method == "power":
             V = cpx_ops.signal_subspace_embedded(
                 R, cfg.num_sources, iters=cfg.power_iters,
-                squarings=cfg.power_squarings)
+                squarings=cfg.power_squarings,
+                **(cfg.escalate_kwargs
+                   if cfg.power_squarings == 0 else {}))
             den = jnp.maximum(
                 cpx_ops.music_denominator_subspace(
                     V, A, compute_dtype=jnp.dtype(cfg.compute_dtype)),

@@ -187,16 +187,20 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 # power_iters (see configs.subspace_warm_start)
                 Vt_bar = cpx_ops.signal_subspace_from_E_T(
                     jnp.mean(E_win, axis=0)[None], cfg.num_sources,
-                    iters=max(cfg.power_iters, 8))
+                    iters=max(cfg.power_iters, 8),
+                    **cfg.escalate_kwargs)
                 init = jnp.broadcast_to(
                     Vt_bar, (E_win.shape[0],) + Vt_bar.shape[1:])
                 Vt = cpx_ops.signal_subspace_from_E_T(
                     E_win, cfg.num_sources,
-                    iters=cfg.power_iters_warm, init=init)
+                    iters=cfg.power_iters_warm, init=init,
+                    **cfg.escalate_kwargs)
             else:
                 Vt = cpx_ops.signal_subspace_from_E_T(
                     E_win, cfg.num_sources, iters=cfg.power_iters,
-                    squarings=cfg.power_squarings)
+                    squarings=cfg.power_squarings,
+                    **(cfg.escalate_kwargs
+                       if cfg.power_squarings == 0 else {}))
             B = E_win.shape[0]
             Bp = ((B + W - 1) // W) * W
             Vp_flat = Vt.reshape(B * k2, n2)
@@ -263,7 +267,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             else:
                 V_emb = cpx_ops.signal_subspace_embedded(
                     R, cfg.num_sources, iters=cfg.power_iters,
-                    squarings=cfg.power_squarings)
+                    squarings=cfg.power_squarings,
+                    **(cfg.escalate_kwargs
+                       if cfg.power_squarings == 0 else {}))
             if cfg.subspace_check:
                 from doa_tpu.cpx import embed_hermitian
                 E_chk = (E_win if E_win is not None

@@ -23,10 +23,12 @@ BASE = DoaConfig(
     grid=GridSpec1D(num_points=1024), num_max_vals=2)
 
 COLS = {
-    "e1 (default)": dict(power_schedule="e1"),
-    "e2": dict(power_schedule="e2"),
+    "default (esc)": dict(power_schedule="e1"),   # escalation default-on
+    "e1 no-esc": dict(power_schedule="e1", subspace_escalate=False),
+    "e2": dict(power_schedule="e2", subspace_escalate=False),
     "e4": dict(power_schedule="e4"),
-    "e1+guard": dict(power_schedule="e1", subspace_check=True),
+    "e1+guard": dict(power_schedule="e1", subspace_check=True,
+                     subspace_escalate=False),
     "eigh": dict(subspace_method="eigh"),
 }
 

@@ -192,6 +192,43 @@ def test_schedule_envelope_source_imbalance():
     assert abs(ang[1] - 110.0) > 0.5, ang
 
 
+def test_escalation_closes_extreme_imbalance():
+    """Automatic subspace escalation (default ON, VERDICT r2 item 5):
+    at 25 dB source imbalance the cold e1@8 iteration converges to a
+    wrong-but-invariant subspace — the invariance residual is BLIND to
+    it (~1e-3), but the eigengap detector (γ = min captured Rayleigh /
+    noise-floor mean, free from the final apply product) fires and
+    drives extra MGS rounds. The default config must match eigh's
+    angles per window; disabling escalation must reproduce the old
+    failure (pins that the detector does the work, not a larger
+    default iteration count)."""
+    from doa_tpu.configs import ArrayGeometry, DoaConfig, GridSpec1D
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024), num_max_vals=2)
+    amp = 10 ** (-25 / 20)
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1, amplitude=1.0),
+         SourceSpec(theta_deg=110.0, freq_norm=0.3, amplitude=amp)],
+        16, 0.5, 8 * 1024, snr_db=10, seed=100)
+    a_def = np.sort(np.asarray(
+        build_pipeline_tpu(cfg)(x).peak_angles["music"]), -1)
+    a_eigh = np.sort(np.asarray(build_pipeline_tpu(
+        dataclasses.replace(cfg, subspace_method="eigh")
+    )(x).peak_angles["music"]), -1)
+    np.testing.assert_allclose(a_def, a_eigh, atol=0.1)
+    a_off = np.sort(np.asarray(build_pipeline_tpu(
+        dataclasses.replace(cfg, subspace_escalate=False)
+    )(x).peak_angles["music"]), -1)
+    err_off = np.abs(a_off - np.array([60.0, 110.0])).max()
+    assert err_off > 0.5, (
+        f"scenario no longer stresses the envelope (err {err_off})")
+
+
 def test_warm_start_matches_cold_narrowband():
     """subspace_warm_start on the fused narrowband path: 3 E-applies
     from the capture-mean subspace must match the cold 8-apply result —
@@ -208,11 +245,15 @@ def test_warm_start_matches_cold_narrowband():
         cov_impl="pallas")
     for imb_db in (0.0, 20.0):
         amp = 10 ** (-imb_db / 20)
+        # B = 48 ≥ 32 so the warm start actually engages (it is the
+        # package default, so "cold" is the explicit opt-out; an earlier
+        # version of this test compared warm to itself at B=16)
         x = synth_ula_iq(
             [SourceSpec(theta_deg=60.0, freq_norm=0.1, amplitude=1.0),
              SourceSpec(theta_deg=110.0, freq_norm=0.3, amplitude=amp)],
-            16, 0.5, 16 * 1024, snr_db=10, seed=0).astype(np.complex64)
-        cold = build_pipeline_tpu(cfg)
+            16, 0.5, 48 * 1024, snr_db=10, seed=0).astype(np.complex64)
+        cold = build_pipeline_tpu(
+            dataclasses.replace(cfg, subspace_warm_start=False))
         warm = build_pipeline_tpu(
             dataclasses.replace(cfg, subspace_warm_start=True))
         assert cold.fast_path and warm.fast_path
@@ -222,6 +263,73 @@ def test_warm_start_matches_cold_narrowband():
         med = np.median(a1, axis=0)
         assert abs(med[0] - 60.0) < 0.5 and abs(med[1] - 110.0) < 0.5, (
             imb_db, med)
+
+
+def test_warm_start_abrupt_scene_change():
+    """Adversarial nonstationarity (VERDICT r2 item 4): one capture,
+    two disjoint scenes — the sources JUMP 60/110 → 30/150 at the
+    midpoint, so the capture-mean covariance spans four directions with
+    K=2 and every window's warm refinement starts far from its own
+    fixed point. Warm must still match cold per window (the init
+    affects speed, not the fixed point: each E-apply contracts the
+    subspace angle by λ_{K+1}/λ_K, and the mean subspace is never
+    orthogonal to a half's true subspace), and each half must estimate
+    its OWN scene. Second variant: a source-COUNT change (one source →
+    two with K=2) — the weaker stress of a rank-deficient first half."""
+    from doa_tpu.configs import ArrayGeometry, DoaConfig, GridSpec1D
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024), num_max_vals=2,
+        cov_impl="pallas")
+    half = 24 * 1024
+    xa = synth_ula_iq(
+        [SourceSpec(theta_deg=60.0, freq_norm=0.1),
+         SourceSpec(theta_deg=110.0, freq_norm=0.3)],
+        16, 0.5, half, snr_db=10, seed=3)
+    xb = synth_ula_iq(
+        [SourceSpec(theta_deg=30.0, freq_norm=0.17),
+         SourceSpec(theta_deg=150.0, freq_norm=0.26)],
+        16, 0.5, half, snr_db=10, seed=4)
+    x = np.concatenate([xa, xb], axis=0).astype(np.complex64)
+    warm = build_pipeline_tpu(cfg)
+    cold = build_pipeline_tpu(
+        dataclasses.replace(cfg, subspace_warm_start=False))
+    assert warm.fast_path
+    aw = np.sort(np.asarray(warm(x).peak_angles["music"]), -1)
+    ac = np.sort(np.asarray(cold(x).peak_angles["music"]), -1)
+    np.testing.assert_allclose(aw, ac, atol=0.05)
+    B = aw.shape[0]
+    np.testing.assert_allclose(np.median(aw[:B // 2], 0),
+                               [60.0, 110.0], atol=0.5)
+    np.testing.assert_allclose(np.median(aw[B // 2:], 0),
+                               [30.0, 150.0], atol=0.5)
+
+    xa1 = synth_ula_iq([SourceSpec(theta_deg=70.0, freq_norm=0.12)],
+                       16, 0.5, half, snr_db=10, seed=5)
+    xb2 = synth_ula_iq(
+        [SourceSpec(theta_deg=40.0, freq_norm=0.21),
+         SourceSpec(theta_deg=140.0, freq_norm=0.33)],
+        16, 0.5, half, snr_db=10, seed=6)
+    x2 = np.concatenate([xa1, xb2], axis=0).astype(np.complex64)
+    aw2 = np.asarray(warm(x2).peak_angles["music"])   # [:, 0] strongest
+    ac2 = np.asarray(cold(x2).peak_angles["music"])
+    h = aw2.shape[0] // 2
+    # One-source half under K=2: the SECOND subspace direction is a
+    # noise eigendirection — arbitrary under EVERY subspace method
+    # (measured: cold-vs-EIGH spurious second peaks differ by up to
+    # 77° here), so per-window equality of the spurious peak is not
+    # part of the contract. The REAL source and the well-posed half
+    # are:
+    np.testing.assert_allclose(aw2[:h, 0], ac2[:h, 0], atol=0.05)
+    np.testing.assert_allclose(aw2[:h, 0], 70.0, atol=0.5)
+    np.testing.assert_allclose(np.sort(aw2[h:], -1),
+                               np.sort(ac2[h:], -1), atol=0.05)
+    np.testing.assert_allclose(np.median(np.sort(aw2[h:], -1), 0),
+                               [40.0, 140.0], atol=0.5)
 
 
 def test_near_rayleigh_resolution_mgs():
