@@ -253,10 +253,15 @@ class DoaConfig:
     # kernel on TPU backends and XLA elsewhere; "xla" | "pallas" force.
     cov_impl: str = "auto"
     # Subspace-iteration implementation on the fused (embedded-E) path:
-    # "xla" = batched E⁴-squaring iteration in transposed layout
-    # (cpx_ops.signal_subspace_from_E_T — measured fastest, 9.7 ms vs
-    # 14.7 at the headline config), "pallas" = in-VMEM consolidated
-    # kernel (ops/pallas/subspace.py). "auto" = xla.
+    # "auto" (default) = the batched-einsum XLA iteration in transposed
+    # layout (cpx_ops.signal_subspace_from_E_T — measured fastest; the
+    # warm path skips the Ep materialization so E crosses HBM once per
+    # apply); "fused" = the warm-refine Pallas kernel
+    # (ops/pallas/warm_refine.py — each E tile crosses HBM exactly
+    # once, but its per-group micro-dots are LATENCY-bound on this
+    # toolchain: 30.5 vs 5.2 ms at the headline shape, docs/PERF.md);
+    # "xla" forces the einsum path everywhere; "pallas" = the cold
+    # in-VMEM consolidated kernel (ops/pallas/subspace.py).
     subspace_impl: str = "auto"
     # Gram input precision: "bfloat16" quarters the MXU pass count of the
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
@@ -295,10 +300,10 @@ class DoaConfig:
         if self.cov_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"cov_impl {self.cov_impl!r} not 'auto' | 'xla' | 'pallas'")
-        if self.subspace_impl not in ("auto", "xla", "pallas"):
+        if self.subspace_impl not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(
                 f"subspace_impl {self.subspace_impl!r} not "
-                "'auto' | 'xla' | 'pallas'")
+                "'auto' | 'xla' | 'pallas' | 'fused'")
         if self.cov_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")

@@ -282,7 +282,17 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     K2 = 2 * num_sources
     n2 = E.shape[-1]
     tr = jnp.einsum("bii->b", E)[:, None, None] / n2
-    Ep = E / jnp.maximum(tr, 1e-30)
+    if init is not None and squarings == 0:
+        # Warm path: MGS renormalizes every round, so the iteration is
+        # SCALE-INVARIANT — skip the Ep = E/tr materialization (a full
+        # write + re-reads of the 4×-lane-padded stack, ~2 HBM passes
+        # at the headline shape) and fold 1/tr into the detector's
+        # Rayleigh quotients instead (r3; the residual is a ratio and
+        # needs no rescale).
+        Ep, tr_post = E, tr[..., 0]                  # (B, 1)
+    else:
+        Ep = E / jnp.maximum(tr, 1e-30)
+        tr_post = None
     for _ in range(squarings):
         Ep = jnp.einsum("bij,bjk->bik", Ep, Ep,
                         preferred_element_type=jnp.float32)
@@ -309,6 +319,8 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     # from the normalized trace (tr(Ep) = 2N by construction), and the
     # span-invariance residual of Vt_prev.
     lam = jnp.sum(W * Vt_prev, axis=-1)                 # (B, 2K)
+    if tr_post is not None:
+        lam = lam / jnp.maximum(tr_post, 1e-30)
     noise_mean = (n2 - jnp.sum(lam, axis=-1)) / (n2 - K2)
     gamma = jnp.min(lam, axis=-1) / jnp.maximum(noise_mean, 1e-30)
     C = jnp.einsum("bkm,blm->bkl", W, Vt_prev,

@@ -1,0 +1,282 @@
+"""Fused warm-start subspace refinement Pallas TPU kernel.
+
+Closes the headline pipeline's last HBM round trip (r2 verdict item 1):
+the XLA warm-start refinement (cpx_ops._subspace_E_T_mgs with init)
+reads the embedded covariance stack E: f32[B, 2N, 2N] once per apply
+plus a trace-normalization pass — ~5 passes over a 4×-lane-padded
+256 MB array at the headline config. This kernel reads each E tile
+ONCE and runs the whole refinement in VMEM:
+
+* **Trace normalization + apply on gw-window block-diagonals.** Per
+  group of gw = 128//2N windows the (2N, 2N) tiles form one (128, 128)
+  block-diagonal Ep (block-diagonal algebra is closed, so one full-tile
+  MXU dot applies every window in the group). Same structure as
+  ops/pallas/subspace.py; all reductions are 2-D (a 3-D masked reduce
+  SIGABRTs this container's Mosaic toolchain — see that file).
+
+* **Column-group MGS.** The per-window basis lives as k2 = 2K arrays
+  u_k: f32[128, W] whose column w holds window w's k-th basis vector in
+  that window's 2N-row block. Modified Gram-Schmidt's dot+axpy chain
+  becomes elementwise products + a ones-row matvec (per-window dots:
+  cross-window terms are structurally zero because windows occupy
+  disjoint rows), identical math to cpx_ops._mgs_rows including the
+  2-pass final round.
+
+* **Escalation detector in-kernel.** The final apply product gives each
+  window's eigengap ratio γ and invariance residual exactly as in
+  cpx_ops._subspace_E_T_mgs; both are emitted per window so the caller
+  can run the (rare) escalation rounds under lax.cond in XLA — the
+  healthy common case never touches E again.
+
+Output is the lane-packed (w·2K + k, 2N) layout that
+ops.pallas.music_scan consumes directly (same W = packing_width as
+ops/pallas/subspace.py).
+
+Precision: every value-carrying dot is pinned to HIGHEST (Mosaic lowers
+only DEFAULT/HIGHEST; the ambient tensorfloat32 the pipelines trace
+under would crash kernel lowering, and DEFAULT single-pass bf16 breaks
+subspace convergence — docs/PERF.md "matmul precision").
+
+Reference semantics: MUSIC_lin_array's noise-subspace extraction
+(SURVEY §2.1 C2) on the real 2N embedding, warm-started per SURVEY §7.3
+hard part 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doa_tpu.ops.pallas.subspace import packing_width
+
+
+def _warm_kernel(e_ref, vtb_ref, d_ref, out_ref, gr_ref, *, W: int,
+                 n2: int, k2: int, gw: int, iters: int):
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=hp)
+    dotT = lambda a, b: jax.lax.dot_general(  # contract rows  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=hp)
+    ng = W // gw
+    bd = gw * n2                 # block-diagonal side (≤ 128)
+
+    def blockdiag(blocks, r, c):
+        n = len(blocks)
+        if n == 1:
+            return blocks[0]
+        z = jnp.zeros((r, c), f32)
+        return jnp.concatenate([
+            jnp.concatenate(
+                [blocks[i] if j == i else z for j in range(n)], axis=1)
+            for i in range(n)], axis=0)
+
+    e = e_ref[...]                                   # (W, n2, n2)
+    vtb = vtb_ref[0]                                 # (k2, n2)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (bd, bd), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (bd, bd), 1)
+    eyeBD = jnp.where(ri == ci, 1.0, 0.0).astype(f32)
+    ones_bd = jnp.ones((1, bd), f32)
+
+    # --- per-group trace-normalized block-diagonal Ep ----------------
+    Eps = []
+    for g in range(ng):
+        blk = blockdiag([e[g * gw + i] for i in range(gw)], n2, n2)
+        diag = dot(ones_bd, blk * eyeBD)             # (1, bd)
+        scale_cols = []
+        for i in range(gw):
+            tr_i = jnp.sum(diag[:, i * n2:(i + 1) * n2]) / n2
+            scale_cols.append(jnp.zeros((1, n2), f32)
+                              + 1.0 / jnp.maximum(tr_i, 1e-30))
+        Eps.append(blk * jnp.concatenate(scale_cols, axis=1))
+
+    # Static 0/1 expand/collapse between column-group and block forms:
+    # Expand_k: (gw, gw*k2) places window column w at block column
+    # w*k2 + k; built from 2-D iotas (no gathers in Mosaic).
+    er = jax.lax.broadcasted_iota(jnp.int32, (gw, gw * k2), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (gw, gw * k2), 1)
+    Expand = [jnp.where(ec == er * k2 + k, 1.0, 0.0).astype(f32)
+              for k in range(k2)]
+
+    # --- initial basis: Vt_bar broadcast to every window -------------
+    vtbT = vtb.T                                     # (n2, k2)
+    u = []                                           # k2 × (bd, W)
+    for k in range(k2):
+        colg = blockdiag([vtbT[:, k:k + 1]] * gw, n2, 1)   # (bd, gw)
+        u.append(jnp.concatenate([colg] * ng, axis=1))     # (bd, W)
+
+    def group_block(uk_list, g):
+        """Column groups → group g's block-diagonal V (bd, gw·k2)."""
+        acc = None
+        for k in range(k2):
+            t = dot(uk_list[k][:, g * gw:(g + 1) * gw], Expand[k])
+            acc = t if acc is None else acc + t
+        return acc
+
+    u_prev = w_prod = None
+    for r in range(iters):
+        # apply: w_k = blockdiag(Ep) @ u_k, via per-group full tiles
+        w_parts = [[] for _ in range(k2)]
+        for g in range(ng):
+            app = dot(Eps[g], group_block(u, g))     # (bd, gw·k2)
+            for k in range(k2):
+                w_parts[k].append(dot(app, Expand[k].T))
+        w = [jnp.concatenate(p, axis=1) for p in w_parts]  # k2 × (bd, W)
+        if r == iters - 1:
+            u_prev, w_prod = u, w
+        # MGS (matches cpx_ops._mgs_rows; final round runs 2 passes)
+        passes = 2 if r == iters - 1 else 1
+        nu = []
+        for i in range(k2):
+            v = w[i]
+            for _ in range(passes):
+                for uj in nu:
+                    v = v - uj * dot(ones_bd, uj * v)
+            nrm = dot(ones_bd, v * v)                # (1, W)
+            nu.append(v * jax.lax.rsqrt(jnp.maximum(nrm, 1e-30)))
+        u = nu
+
+    # --- escalation detector (cpx_ops._subspace_E_T_mgs semantics) ---
+    lam = [dot(ones_bd, u_prev[k] * w_prod[k]) for k in range(k2)]
+    lam_sum = lam[0]
+    lam_min = lam[0]
+    for k in range(1, k2):
+        lam_sum = lam_sum + lam[k]
+        lam_min = jnp.minimum(lam_min, lam[k])
+    noise = (n2 - lam_sum) / (n2 - k2)
+    gamma = lam_min / jnp.maximum(noise, 1e-30)      # (1, W)
+    num2 = None
+    den2 = None
+    for k in range(k2):
+        resid = w_prod[k]
+        for l in range(k2):                          # noqa: E741
+            ckl = dot(ones_bd, w_prod[k] * u_prev[l])
+            resid = resid - u_prev[l] * ckl
+        nk = dot(ones_bd, resid * resid)
+        dk = dot(ones_bd, w_prod[k] * w_prod[k])
+        num2 = nk if num2 is None else num2 + nk
+        den2 = dk if den2 is None else den2 + dk
+    res = jnp.sqrt(num2) / jnp.maximum(jnp.sqrt(den2), 1e-30)
+    gr_ref[...] = jnp.concatenate(
+        [gamma.T, res.T, jnp.zeros((W, 126), f32)], axis=1)
+
+    # --- emit lane-packed rows (w·k2 + k) ----------------------------
+    outs = []
+    for g in range(ng):
+        outs.append(dotT(group_block(u, g), d_ref[...]))  # (gw·k2, n2)
+    out_ref[...] = jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iters", "groups_per_block", "interpret"))
+def warm_refine_packed_pallas(E, Vt0, iters: int = 3,
+                              groups_per_block: int = 0,
+                              interpret: bool = False):
+    """E: f32[B, 2N, 2N] embedded covariances, Vt0 orthonormal
+    warm-start rows — f32[2K, 2N] (one capture-mean subspace for the
+    whole batch) or f32[F, 2K, 2N] (per-subband means for a
+    subband-major (F·Bsub, 2N, 2N) merged stack, wideband EP path;
+    requires W | Bsub so no program straddles subbands) → (Vp_flat
+    f32[Bp·2K, 2N] lane-packed refined subspaces, gamma f32[Bp],
+    res f32[Bp]) with Bp = B padded to the packing width. Each E tile
+    crosses HBM exactly once; `iters` counts the per-window E-applies
+    (cpx_ops._subspace_E_T_mgs(init=...) semantics, detector included).
+    Pad windows are refined from identity tiles — slice outputs [:B]."""
+    B, n2, _ = E.shape
+    if Vt0.ndim == 2:
+        Vt0 = Vt0[None]
+    F, k2 = Vt0.shape[0], Vt0.shape[1]
+    if iters < 1:
+        raise ValueError("warm refinement needs iters >= 1")
+    gw = max(1, 128 // n2)
+    W = packing_width(n2, k2 // 2, groups_per_block)
+    Bp = ((B + W - 1) // W) * W
+    if F > 1 and (B % F or (B // F) % W):
+        raise ValueError(
+            f"per-subband warm start needs W ({W}) | B/F ({B}/{F})")
+    bsub = Bp if F == 1 else B // F
+    if Bp != B:
+        pad = jnp.broadcast_to(jnp.eye(n2, dtype=E.dtype),
+                               (Bp - B, n2, n2))
+        E = jnp.concatenate([E, pad], axis=0)
+    D = np.zeros((gw * n2, n2), np.float32)          # identity stack
+    for i in range(gw):
+        D[i * n2:(i + 1) * n2, :] = np.eye(n2, dtype=np.float32)
+
+    out, gr = _warm_call(E, Vt0, jnp.asarray(D), Bp=Bp, W=W, n2=n2,
+                         k2=k2, gw=gw, iters=iters, bsub=bsub,
+                         interpret=interpret)
+    return out, gr[:, 0], gr[:, 1]
+
+
+def _warm_call(E, Vt0, D, *, Bp, W, n2, k2, gw, iters, bsub,
+               interpret):
+    return pl.pallas_call(
+        functools.partial(_warm_kernel, W=W, n2=n2, k2=k2, gw=gw,
+                          iters=iters),
+        grid=(Bp // W,),
+        in_specs=[
+            pl.BlockSpec((W, n2, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2, n2), lambda i: ((i * W) // bsub, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw * n2, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W * k2, n2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp * k2, n2), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(E, Vt0, D)
+
+
+def warm_refine_escalated(E, Vt0, iters: int = 3,
+                          escalate_extra: int = 0,
+                          escalate_gap: float = 3.0,
+                          escalate_tol: float = 0.05,
+                          interpret: bool = False):
+    """Production wrapper: fused warm refinement + the automatic
+    eigengap/residual escalation of cpx_ops._subspace_E_T_mgs run in
+    XLA under lax.cond — the healthy common case reads E exactly once
+    (in the kernel); flagged batches pay `escalate_extra` extra MGS
+    rounds over the unpadded windows. Returns the lane-packed
+    f32[Bp·2K, 2N] subspace stack (slice consumers to [:B])."""
+    from doa_tpu.ops.cpx_ops import _mgs_rows
+
+    B, n2, _ = E.shape
+    k2 = Vt0.shape[-2]
+    Vp, gamma, res = warm_refine_packed_pallas(
+        E, Vt0, iters=iters, interpret=interpret)
+    if escalate_extra <= 0:
+        return Vp
+    bad = (res[:B] > escalate_tol) | (gamma[:B] < escalate_gap)
+
+    def _escalate(vp):
+        vt = vp.reshape(-1, k2, n2)
+        tr = jnp.einsum("bii->b", E)[:, None, None] / n2
+        Ep = E / jnp.maximum(tr, 1e-30)
+
+        def body(_, v):
+            return _mgs_rows(
+                jnp.einsum("bkn,bnm->bkm", v, Ep,
+                           preferred_element_type=jnp.float32),
+                passes=2)
+
+        vt_b = jax.lax.fori_loop(0, escalate_extra, body, vt[:B])
+        return jnp.concatenate([vt_b, vt[B:]], axis=0).reshape(vp.shape)
+
+    return jax.lax.cond(jnp.any(bad), _escalate, lambda v: v, Vp)

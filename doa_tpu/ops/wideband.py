@@ -123,6 +123,23 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
             jnp.mean(E_sub, axis=1), cfg.num_sources,
             iters=max(cfg.power_iters, 8),
             **cfg.escalate_kwargs)                   # (F, 2K, 2N)
+        from doa_tpu.ops.pallas.subspace import packing_width
+        Wp = packing_width(n2, cfg.num_sources)
+        if cfg.subspace_impl == "fused" and B % Wp == 0:
+            # Fused warm-refine kernel with per-subband inits (OPT-IN:
+            # the in-VMEM refinement is latency-bound on this
+            # toolchain — docs/PERF.md "r3 E-read fusion experiment");
+            # a packing-misaligned B falls back to the einsum path.
+            import jax as _jax
+            from doa_tpu.ops.pallas.warm_refine import (
+                warm_refine_escalated)
+            Vp = warm_refine_escalated(
+                E_sub.reshape(F * B, n2, n2), Vt_bar,
+                iters=max(cfg.power_iters_warm, 1),
+                interpret=_jax.default_backend() == "cpu",
+                **cfg.escalate_kwargs)
+            Vt = Vp.reshape(-1, K2, n2)[:F * B]
+            return jnp.swapaxes(Vt, -1, -2).reshape(F, B, n2, K2)
         init = jnp.broadcast_to(
             Vt_bar[:, None], (F, B, K2, n2)).reshape(F * B, K2, n2)
         Vt = cpx_ops.signal_subspace_from_E_T(

@@ -189,6 +189,21 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     jnp.mean(E_win, axis=0)[None], cfg.num_sources,
                     iters=max(cfg.power_iters, 8),
                     **cfg.escalate_kwargs)
+                if cfg.subspace_impl == "fused":
+                    # Fused warm-refine kernel (OPT-IN): each E tile
+                    # crosses HBM once, but the per-group micro-dots
+                    # are latency-bound — measured 30.5 ms vs the XLA
+                    # iteration's 5.2 at the headline shape
+                    # (docs/PERF.md "r3 E-read fusion experiment"), so
+                    # the batched-einsum path stays the default.
+                    from doa_tpu.ops.pallas.warm_refine import (
+                        warm_refine_escalated)
+                    B = E_win.shape[0]
+                    Vp_flat = warm_refine_escalated(
+                        E_win, Vt_bar[0],
+                        iters=max(cfg.power_iters_warm, 1),
+                        interpret=interp, **cfg.escalate_kwargs)
+                    return Vp_flat.reshape(-1, W * k2, n2)
                 init = jnp.broadcast_to(
                     Vt_bar, (E_win.shape[0],) + Vt_bar.shape[1:])
                 Vt = cpx_ops.signal_subspace_from_E_T(
