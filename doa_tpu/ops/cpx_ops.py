@@ -282,17 +282,13 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     K2 = 2 * num_sources
     n2 = E.shape[-1]
     tr = jnp.einsum("bii->b", E)[:, None, None] / n2
-    if init is not None and squarings == 0:
-        # Warm path: MGS renormalizes every round, so the iteration is
-        # SCALE-INVARIANT — skip the Ep = E/tr materialization (a full
-        # write + re-reads of the 4×-lane-padded stack, ~2 HBM passes
-        # at the headline shape) and fold 1/tr into the detector's
-        # Rayleigh quotients instead (r3; the residual is a ratio and
-        # needs no rescale).
-        Ep, tr_post = E, tr[..., 0]                  # (B, 1)
-    else:
-        Ep = E / jnp.maximum(tr, 1e-30)
-        tr_post = None
+    # (r3 note: skipping the Ep materialization on the warm path — MGS
+    # is scale-invariant — measured as a COMPILE-TIME pathology on this
+    # container's toolchain: the headline pipeline failed to compile in
+    # 15 min vs ~4 min with Ep materialized. Reverted; the ~2 HBM
+    # passes it would save are documented in docs/PERF.md.)
+    Ep = E / jnp.maximum(tr, 1e-30)
+    tr_post = None
     for _ in range(squarings):
         Ep = jnp.einsum("bij,bjk->bik", Ep, Ep,
                         preferred_element_type=jnp.float32)
