@@ -4,6 +4,18 @@ Headline metric (BASELINE.json): Covariance + eigendecomposition + MUSIC
 spectrum-scan snapshots/s per chip on a 16-element ULA, 1024-sample
 snapshots, 1024-angle grid — the full pipeline over HBM-resident data.
 
+The input is a PLANTED SCENE, not bare noise (r3 post-mortem,
+docs/PERF.md): two equal-power 10 dB tones at 70°/110° in AWGN. That
+makes the bench a hardware CORRECTNESS tripwire (the returned peak
+angles are asserted to ≤0.5° per window — the r2 precision bug and any
+silently-wrong kernel would fail here, not just slow down) AND it
+measures the benign operating point the docs describe: source-free
+noise drove the r3 escalation detector on every call (γ ≈ 1 in every
+window) and regressed the headline 3×; a signal-bearing scene exercises
+the detector's healthy no-fire path, and the r4 no-signal contract
+(configs.subspace_escalate_signal_floor) fixed the noise-only case
+itself.
+
 Two fencing disciplines (docs/PERF.md):
   * pipelined (the headline): enqueue `iters` calls, fence once — device
     programs execute in launch order, so fetching the last output
@@ -12,11 +24,10 @@ Two fencing disciplines (docs/PERF.md):
     amortizes away exactly as it does in production streaming.
   * latency: fence every call (reported on stderr for reference).
 
-Measures the optimized XLA path first (the fastest on this container's
-toolchain — docs/PERF.md) and falls back to the fused Pallas path
-(interleaved ingest → E(R) kernel → VMEM subspace → packed scan), then
-to a smaller batch. A repo-local persistent compilation cache makes
-recompiles cheap across processes.
+Measures the fused Pallas path first (interleaved ingest → E(R) kernel
+→ warm-start subspace → packed scan) and falls back to the optimized
+XLA path, then to a smaller batch. A repo-local persistent compilation
+cache makes recompiles cheap across processes.
 
 `vs_baseline` is the multiple of REAL-TIME at the north-star operating
 point (10 Msps/channel → 9765.625 snapshots/s): ≥10 meets the target.
@@ -30,9 +41,50 @@ import time
 
 import numpy as np
 
+THETA = (70.0, 110.0)   # planted truth (the c4-like scene)
+CYCLES = (5, 9)         # tone freqs, cycles per 1024 samples: phases are
+#                         exact in f32 via t mod 1024, and the two tones
+#                         are orthogonal over every snapshot window
+SNR_DB = 10.0
+PERIOD = 1024
+
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _mix_rows(N: int, spacing: float = 0.5):
+    """Host-static mixing matrices mapping tone features
+    [cos ω₁t, sin ω₁t, cos ω₂t, sin ω₂t] to array samples:
+    x(t, n) = Σ_k amp·e^{jω_k t}·a_n(θ_k) →
+    re = cos·a_re − sin·a_im, im = cos·a_im + sin·a_re.
+    → (MixR (4, N), MixI (4, N)) f32."""
+    from doa_tpu.ops.steering import _ula_steering_np
+
+    a = _ula_steering_np(np.asarray(THETA, np.float64), N, spacing)
+    amp = np.sqrt(2.0 * 10 ** (SNR_DB / 10.0))  # noise power = 2 (unit
+    #                                             normal re/im planes)
+    rows_re, rows_im = [], []
+    for k in range(len(THETA)):
+        ar = (a[k].real * amp).astype(np.float64)
+        ai = (a[k].imag * amp).astype(np.float64)
+        rows_re += [ar, -ai]
+        rows_im += [ai, ar]
+    return (np.stack(rows_re).astype(np.float32),
+            np.stack(rows_im).astype(np.float32))
+
+
+def _feature_consts(tp: int):
+    """Per-column constants of the (rows, 4·tp) feature matrix for the
+    interleaved layout: column c = 4p + j holds
+    cos(ω_{k(j)}·(4r' + p) + sin-shift), r' = r mod PERIOD/tp."""
+    w = 2.0 * np.pi * np.asarray(CYCLES, np.float64) / PERIOD
+    k_c = np.tile([0, 0, 1, 1], tp)
+    p_c = np.repeat(np.arange(tp), 4)
+    is_sin = np.tile([0.0, 1.0, 0.0, 1.0], tp)
+    colw = w[k_c]
+    coloff = colw * p_c - is_sin * (np.pi / 2.0)  # cos(x−π/2) = sin x
+    return (colw.astype(np.float32), coloff.astype(np.float32))
 
 
 def _build(T: int, fused: bool):
@@ -52,9 +104,8 @@ def _build(T: int, fused: bool):
         num_max_vals=2,
         scan_mode="pallas" if fused else "dense",
         cov_impl="pallas" if fused else "xla",
-        # e1 + MGS orthonormalization: the fastest schedule AND the
-        # imbalance-robust one (exp_mgs.py, r2 s4) — the bench now runs
-        # exactly the package default.
+        # e1 + MGS + warm start + escalation armed: exactly the
+        # package default configuration.
         power_schedule="e1", power_iters=8)
     # Production streaming shape: peaks out, spectra stay on-device
     # (on the pallas path the spectrum never leaves VMEM at all).
@@ -63,15 +114,66 @@ def _build(T: int, fused: bool):
     key = jax.random.key(0)
     cr = jnp.ones((N,), jnp.float32)
     ci = jnp.zeros((N,), jnp.float32)
+    MixR, MixI = _mix_rows(N)
+    hp = jax.lax.Precision.HIGHEST
     if fused and pipe.fast_path:
-        xil = jax.random.normal(key, (T // 4, 128), jnp.float32)
+        tp = 128 // (2 * N)                      # 4 time steps per row
+        Mix4 = np.zeros((4 * tp, 2 * N * tp), np.float32)
+        ilv = np.empty((4, 2 * N), np.float32)
+        ilv[:, 0::2] = MixR
+        ilv[:, 1::2] = MixI
+        for p in range(tp):
+            Mix4[4 * p:4 * (p + 1), 2 * N * p:2 * N * (p + 1)] = ilv
+        colw, coloff = _feature_consts(tp)
+
+        @jax.jit
+        def make_input(key):
+            rows = T // tp
+            r = jnp.arange(rows, dtype=jnp.int32) % (PERIOD // tp)
+            rf = (tp * r).astype(jnp.float32)
+            F4 = jnp.cos(rf[:, None] * jnp.asarray(colw)[None, :]
+                         + jnp.asarray(coloff)[None, :])
+            sig = jnp.einsum("rc,cd->rd", F4, jnp.asarray(Mix4),
+                             precision=hp)
+            return sig + jax.random.normal(key, (rows, 2 * N * tp),
+                                           jnp.float32)
+
+        xil = jax.block_until_ready(make_input(key))
         call = lambda: pipe.jitted_ilv(xil, cr, ci, Ar, Ai)  # noqa: E731
     else:
         kr, ki = jax.random.split(key)
-        xr = jax.random.normal(kr, (T, N), jnp.float32)
-        xi = jax.random.normal(ki, (T, N), jnp.float32)
+        colw, coloff = _feature_consts(1)
+
+        @jax.jit
+        def make_planes(kr, ki):
+            t = (jnp.arange(T, dtype=jnp.int32) % PERIOD).astype(
+                jnp.float32)
+            F = jnp.cos(t[:, None] * jnp.asarray(colw)[None, :]
+                        + jnp.asarray(coloff)[None, :])   # (T, 4)
+            xr = jnp.einsum("tc,cn->tn", F, jnp.asarray(MixR),
+                            precision=hp) + jax.random.normal(
+                                kr, (T, N), jnp.float32)
+            xi = jnp.einsum("tc,cn->tn", F, jnp.asarray(MixI),
+                            precision=hp) + jax.random.normal(
+                                ki, (T, N), jnp.float32)
+            return xr, xi
+
+        xr, xi = jax.block_until_ready(make_planes(kr, ki))
         call = lambda: pipe.jitted(xr, xi, cr, ci, Ar, Ai)  # noqa: E731
     return call
+
+
+def _check_angles(out):
+    """Correctness tripwire: every window's sorted MUSIC peaks must hit
+    the planted 70°/110° to ≤0.5° (they land ~0.01° off at 10 dB)."""
+    ang = np.sort(np.asarray(out["peak_angles"]["music"]), axis=-1)
+    err = np.abs(ang - np.asarray(THETA, np.float32)).max()
+    _log(f"angle check: max |err| over {ang.shape[0]} windows = "
+         f"{err:.4f} deg (truth {THETA})")
+    if not np.isfinite(err) or err > 0.5:
+        raise SystemExit(
+            f"bench CORRECTNESS failure: planted sources {THETA} "
+            f"estimated with max error {err:.3f} deg (> 0.5)")
 
 
 def _run(T: int, fused: bool) -> float:
@@ -88,7 +190,7 @@ def _run(T: int, fused: bool) -> float:
         np.asarray(jax.device_get(leaf.ravel()[:1]))
 
     _log(f"compiling + warming (fused={fused})")
-    fence(call())
+    _check_angles(call())
     fence(call())
 
     _log("timing: latency-fenced")
@@ -120,15 +222,17 @@ def main():
 
     SNAP = 1024
     snaps_per_s = None
-    # Fused-first: the r2 Pallas path (stacked cov kernel + VMEM
-    # subspace + fused scan+peaks) measures 19.0 ms vs the optimized
-    # XLA path's 23.7 ms at B=16384 (docs/PERF.md); the XLA path is the
-    # fallback for toolchains where the kernels don't compile.
+    # Fused-first: the Pallas path (stacked cov kernel + warm-start
+    # subspace + fused scan+peaks) is the measured-fastest on this
+    # toolchain (docs/PERF.md); the XLA path is the fallback for
+    # toolchains where the kernels don't compile.
     for T, fused in ((1 << 24, True), (1 << 24, False),
                      (1 << 22, False)):
         try:
             snaps_per_s = _run(T, fused)
             break
+        except SystemExit:
+            raise
         except Exception as e:
             _log(f"T=2^{T.bit_length() - 1} fused={fused} failed "
                  f"({type(e).__name__}: {str(e)[:200]}); falling back")

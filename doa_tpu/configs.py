@@ -207,21 +207,37 @@ class DoaConfig:
     subspace_check: bool = False
     subspace_tol: float = 0.05
     # AUTOMATIC subspace escalation (default ON; power path, e1
-    # schedule): the final iteration's apply product gives each
-    # window's invariance residual and eigengap ratio γ (min captured
-    # Rayleigh / noise-floor mean) for free; if any window has residual
-    # > subspace_tol or γ < subspace_escalate_gap — the slow-
-    # convergence regime of extreme source imbalance (≥ ~20 dB) or
-    # threshold SNR, where the default 8 iterations converge to a
-    # wrong-but-invariant subspace that the residual alone cannot see —
-    # the iteration runs subspace_escalate_extra more MGS rounds under
-    # lax.cond. Healthy captures pay only tiny detector matmuls, never
-    # an extra pass over E. Measured: the 25 dB imbalance row matches
-    # the eigh column at default power_iters (docs/ACCURACY.md);
-    # benign-regime γ ≥ 16 (no spurious escalation down to 0 dB SNR).
+    # schedule ONLY — e2/e4 squarings disarm it with a config-time
+    # warning: the detector's noise-floor estimate assumes the
+    # unsquared spectrum): the final iteration's apply product gives
+    # each window's invariance residual and eigengap ratios γ / γ_max
+    # (min / max captured Rayleigh over the noise-floor mean) for
+    # free. A window with residual > subspace_tol or
+    # γ < subspace_escalate_gap — the slow-convergence regime of
+    # extreme source imbalance (≥ ~20 dB) or threshold SNR, where the
+    # default 8 iterations converge to a wrong-but-invariant subspace
+    # that the residual alone cannot see — runs
+    # subspace_escalate_extra more MGS rounds, PER WINDOW: flagged
+    # windows are gathered into a compact batch of at most
+    # subspace_escalate_capacity (worst-first), iterated there, and
+    # scattered back under lax.cond (cpx_ops.escalate_flagged) — one
+    # threshold window taxes ~capacity/B of the batch, not all of it.
+    # SOURCE-FREE contract: a capture whose dominant component sits in
+    # the noise bulk (γ_max < subspace_escalate_signal_floor — e.g.
+    # spectrum monitoring before any signal appears, where EVERY
+    # window has γ ≈ 1) never escalates: there is no subspace to
+    # converge to, and the old whole-batch trigger cost the r3 bench
+    # 3× on exactly that input (docs/PERF.md r3 post-mortem). Healthy
+    # captures pay only tiny detector matmuls, never an extra pass
+    # over E. Measured: the 25 dB imbalance row matches the eigh
+    # column at default power_iters (docs/ACCURACY.md); benign-regime
+    # γ ≥ 16 (no spurious escalation down to 0 dB SNR); noise-only
+    # captures have γ_max ≈ 1.3–1.7 at S≈1024.
     subspace_escalate: bool = True
     subspace_escalate_gap: float = 3.0
     subspace_escalate_extra: int = 40
+    subspace_escalate_signal_floor: float = 2.5
+    subspace_escalate_capacity: int = 1024
     # WARM-START subspace iteration (the DEFAULT on the fused
     # narrowband path and the wideband incoherent paths, for window
     # batches ≥ 32): initialize every window's iteration from the
@@ -258,10 +274,17 @@ class DoaConfig:
     # warm path skips the Ep materialization so E crosses HBM once per
     # apply); "fused" = the warm-refine Pallas kernel
     # (ops/pallas/warm_refine.py — each E tile crosses HBM exactly
-    # once, but its per-group micro-dots are LATENCY-bound on this
-    # toolchain: 30.5 vs 5.2 ms at the headline shape, docs/PERF.md);
-    # "xla" forces the einsum path everywhere; "pallas" = the cold
-    # in-VMEM consolidated kernel (ops/pallas/subspace.py).
+    # once, but its per-group micro-dots are LATENCY-bound at small
+    # 2N: 30.5 vs 5.2 ms at the headline shape; see docs/PERF.md
+    # "warm-refine fusion experiments" for the shape envelope).
+    # "fused" is EXPERIMENTAL on this container's Mosaic toolchain —
+    # some fused programs SIGABRT at compile (uncatchable; docs/PERF.md
+    # toolchain caveat), so production configs should keep the default
+    # and treat "fused" as an opt-in measured per shape. Applies only
+    # where the warm start engages (warm_start on, batch ≥ 32); cold
+    # batches fall back to the einsum path. "xla" forces the einsum
+    # path everywhere; "pallas" = the cold in-VMEM consolidated kernel
+    # (ops/pallas/subspace.py).
     subspace_impl: str = "auto"
     # Gram input precision: "bfloat16" quarters the MXU pass count of the
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
@@ -314,6 +337,25 @@ class DoaConfig:
             raise ValueError(
                 f"power_schedule {self.power_schedule!r} not one of "
                 "'e1' | 'e2' | 'e4'")
+        if self.subspace_escalate and self.power_schedule != "e1":
+            import warnings
+            warnings.warn(
+                f"power_schedule={self.power_schedule!r} DISARMS "
+                "subspace_escalate (the eigengap detector assumes the "
+                "unsquared e1 spectrum): the 25-dB-imbalance safety "
+                "net is off on this config. Squared schedules are a "
+                "documented correctness hazard with no speed reward "
+                "(docs/PERF.md) — prefer e1, or set "
+                "subspace_escalate=False to silence this.",
+                stacklevel=2)
+        if self.subspace_escalate_capacity < 1:
+            raise ValueError("subspace_escalate_capacity must be >= 1")
+        if (self.subspace_impl == "fused" and self.subspace_warm_start
+                and self.power_iters_warm < 1):
+            raise ValueError(
+                "subspace_impl='fused' (the warm-refine kernel) needs "
+                "power_iters_warm >= 1 — iters counts in-kernel "
+                "E-applies; 0 would skip the refinement entirely")
         if self.wideband.fusion not in ("incoherent", "cssm",
                                         "cssm_auto"):
             raise ValueError(
@@ -365,7 +407,9 @@ class DoaConfig:
             escalate_extra=(self.subspace_escalate_extra
                             if self.subspace_escalate else 0),
             escalate_gap=self.subspace_escalate_gap,
-            escalate_tol=self.subspace_tol)
+            escalate_tol=self.subspace_tol,
+            escalate_signal_floor=self.subspace_escalate_signal_floor,
+            escalate_capacity=self.subspace_escalate_capacity)
 
     @property
     def hop(self) -> int:

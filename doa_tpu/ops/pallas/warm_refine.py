@@ -147,11 +147,14 @@ def _warm_kernel(e_ref, vtb_ref, d_ref, out_ref, gr_ref, *, W: int,
     lam = [dot(ones_bd, u_prev[k] * w_prod[k]) for k in range(k2)]
     lam_sum = lam[0]
     lam_min = lam[0]
+    lam_max = lam[0]
     for k in range(1, k2):
         lam_sum = lam_sum + lam[k]
         lam_min = jnp.minimum(lam_min, lam[k])
-    noise = (n2 - lam_sum) / (n2 - k2)
-    gamma = lam_min / jnp.maximum(noise, 1e-30)      # (1, W)
+        lam_max = jnp.maximum(lam_max, lam[k])
+    noise = jnp.maximum((n2 - lam_sum) / (n2 - k2), 1e-30)
+    gamma = lam_min / noise                          # (1, W)
+    gamma_max = lam_max / noise                      # (1, W)
     num2 = None
     den2 = None
     for k in range(k2):
@@ -165,7 +168,7 @@ def _warm_kernel(e_ref, vtb_ref, d_ref, out_ref, gr_ref, *, W: int,
         den2 = dk if den2 is None else den2 + dk
     res = jnp.sqrt(num2) / jnp.maximum(jnp.sqrt(den2), 1e-30)
     gr_ref[...] = jnp.concatenate(
-        [gamma.T, res.T, jnp.zeros((W, 126), f32)], axis=1)
+        [gamma.T, res.T, gamma_max.T, jnp.zeros((W, 125), f32)], axis=1)
 
     # --- emit lane-packed rows (w·k2 + k) ----------------------------
     outs = []
@@ -185,9 +188,11 @@ def warm_refine_packed_pallas(E, Vt0, iters: int = 3,
     subband-major (F·Bsub, 2N, 2N) merged stack, wideband EP path;
     requires W | Bsub so no program straddles subbands) → (Vp_flat
     f32[Bp·2K, 2N] lane-packed refined subspaces, gamma f32[Bp],
-    res f32[Bp]) with Bp = B padded to the packing width. Each E tile
-    crosses HBM exactly once; `iters` counts the per-window E-applies
-    (cpx_ops._subspace_E_T_mgs(init=...) semantics, detector included).
+    res f32[Bp], gamma_max f32[Bp]) with Bp = B padded to the packing
+    width. Each E tile crosses HBM exactly once; `iters` counts the
+    per-window E-applies (cpx_ops._subspace_E_T_mgs(init=...)
+    semantics, detector included — gamma_max is the dominant-component
+    ratio gating the no-signal contract, cpx_ops.escalation_detector).
     Pad windows are refined from identity tiles — slice outputs [:B]."""
     B, n2, _ = E.shape
     if Vt0.ndim == 2:
@@ -213,7 +218,7 @@ def warm_refine_packed_pallas(E, Vt0, iters: int = 3,
     out, gr = _warm_call(E, Vt0, jnp.asarray(D), Bp=Bp, W=W, n2=n2,
                          k2=k2, gw=gw, iters=iters, bsub=bsub,
                          interpret=interpret)
-    return out, gr[:, 0], gr[:, 1]
+    return out, gr[:, 0], gr[:, 1], gr[:, 2]
 
 
 def _warm_call(E, Vt0, D, *, Bp, W, n2, k2, gw, iters, bsub,
@@ -248,35 +253,35 @@ def warm_refine_escalated(E, Vt0, iters: int = 3,
                           escalate_extra: int = 0,
                           escalate_gap: float = 3.0,
                           escalate_tol: float = 0.05,
+                          escalate_signal_floor: float = 2.5,
+                          escalate_capacity: int = 1024,
                           interpret: bool = False):
     """Production wrapper: fused warm refinement + the automatic
-    eigengap/residual escalation of cpx_ops._subspace_E_T_mgs run in
-    XLA under lax.cond — the healthy common case reads E exactly once
-    (in the kernel); flagged batches pay `escalate_extra` extra MGS
-    rounds over the unpadded windows. Returns the lane-packed
+    eigengap/residual escalation (cpx_ops.escalation_flags semantics:
+    flagged AND signal-bearing windows only) run in XLA under lax.cond
+    over the compact flagged subset (cpx_ops.escalate_flagged) — the
+    healthy common case reads E exactly once (in the kernel); flagged
+    windows pay `escalate_extra` extra MGS rounds in a
+    ≤escalate_capacity gathered batch. Returns the lane-packed
     f32[Bp·2K, 2N] subspace stack (slice consumers to [:B])."""
-    from doa_tpu.ops.cpx_ops import _mgs_rows
+    from doa_tpu.ops.cpx_ops import escalate_flagged, escalation_flags
 
     B, n2, _ = E.shape
     k2 = Vt0.shape[-2]
-    Vp, gamma, res = warm_refine_packed_pallas(
+    Vp, gamma, res, gamma_max = warm_refine_packed_pallas(
         E, Vt0, iters=iters, interpret=interpret)
     if escalate_extra <= 0:
         return Vp
-    bad = (res[:B] > escalate_tol) | (gamma[:B] < escalate_gap)
+    bad, score = escalation_flags(gamma[:B], gamma_max[:B], res[:B],
+                                  escalate_gap, escalate_tol,
+                                  escalate_signal_floor)
 
     def _escalate(vp):
         vt = vp.reshape(-1, k2, n2)
         tr = jnp.einsum("bii->b", E)[:, None, None] / n2
         Ep = E / jnp.maximum(tr, 1e-30)
-
-        def body(_, v):
-            return _mgs_rows(
-                jnp.einsum("bkn,bnm->bkm", v, Ep,
-                           preferred_element_type=jnp.float32),
-                passes=2)
-
-        vt_b = jax.lax.fori_loop(0, escalate_extra, body, vt[:B])
+        vt_b = escalate_flagged(Ep, vt[:B], bad, score,
+                                escalate_extra, escalate_capacity)
         return jnp.concatenate([vt_b, vt[B:]], axis=0).reshape(vp.shape)
 
     return jax.lax.cond(jnp.any(bad), _escalate, lambda v: v, Vp)

@@ -126,16 +126,18 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
         from doa_tpu.ops.pallas.subspace import packing_width
         Wp = packing_width(n2, cfg.num_sources)
         if cfg.subspace_impl == "fused" and B % Wp == 0:
-            # Fused warm-refine kernel with per-subband inits (OPT-IN:
-            # the in-VMEM refinement is latency-bound on this
-            # toolchain — docs/PERF.md "r3 E-read fusion experiment");
-            # a packing-misaligned B falls back to the einsum path.
+            # Fused warm-refine kernel with per-subband inits (OPT-IN
+            # and EXPERIMENTAL on this container's Mosaic toolchain —
+            # no runtime fallback exists for a compile-time SIGABRT;
+            # measured envelope in docs/PERF.md "warm-refine fusion
+            # experiments"); a packing-misaligned B falls back to the
+            # einsum path.
             import jax as _jax
             from doa_tpu.ops.pallas.warm_refine import (
                 warm_refine_escalated)
             Vp = warm_refine_escalated(
                 E_sub.reshape(F * B, n2, n2), Vt_bar,
-                iters=max(cfg.power_iters_warm, 1),
+                iters=cfg.power_iters_warm,
                 interpret=_jax.default_backend() == "cpu",
                 **cfg.escalate_kwargs)
             Vt = Vp.reshape(-1, K2, n2)[:F * B]
@@ -558,27 +560,61 @@ def wideband_music_hierarchical_cpx(x: Cpx, A_stack: Cpx, W: Cpx,
 
     is_2d = grid2d is not None
 
-    def fused_metric(theta=None, az=None, el=None):
+    def fused_metric(theta=None, az=None, el=None,
+                     refine_chunk: int = 128):
         """Mean over subbands of den_min_f / den_f(angle) ∈ (0, 1].
 
-        Sequential per subband (lax.map, NOT vmap): the micro-grid
-        steering sin/cos intermediates are (B, k, Wp, Wp, 2N)-sized —
-        vmapping F subbands materialized 2×12.75 GB padded at the c5
-        production batch (OOM on a 16 GB chip); mapping keeps one
-        subband in flight (identical math, and the refinement is a
-        trivial fraction of the pipeline's time)."""
-        def one(args):
-            v, d, dm = args
+        Chunked over the WINDOW axis (lax.map over B-chunks of
+        `refine_chunk`, all F subbands vmapped inside): the micro-grid
+        steering sin/cos intermediates are (B, k, Wp², 2N)-sized —
+        vmapping F subbands over the full batch materialized
+        2×12.75 GB padded at the c5 production batch (OOM on a 16 GB
+        chip), while the r3 fix (lax.map PER SUBBAND) serialized F
+        tiny steps and made hierarchical 4.7× SLOWER than dense
+        (278.5 vs 59.1 ms, docs/PERF.md). Per-chunk live set at c5
+        defaults: F·chunk·k·Wp²·2N ≈ 0.6 GB — VMEM/HBM-friendly AND
+        one big parallel program per step."""
+        def den_at(v, d, ang):
             if is_2d:
-                den = ura_denominator_at(v, az, el,
-                                         cfg.geometry.shape, d)
-            else:
-                den = ula_denominator_at(v, theta, d)
-            den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
-            return dm.reshape(dm.shape + (1,) * (den.ndim - 1)) / den
+                return ura_denominator_at(v, ang[0], ang[1],
+                                          cfg.geometry.shape, d)
+            return ula_denominator_at(v, ang, d)
 
-        ratios = jax.lax.map(one, (V, spac, den_min))  # (F, B, ...)
-        return jnp.mean(ratios, axis=0)                # (B, ...)
+        ang = (az, el) if is_2d else theta
+        B_ = V.shape[1]
+        CH = max(1, min(B_, refine_chunk))
+        nch = -(-B_ // CH)
+        pad = nch * CH - B_
+
+        def padB(t, axis):
+            if pad == 0:
+                return t
+            widths = [(0, 0)] * t.ndim
+            widths[axis] = (0, pad)
+            return jnp.pad(t, widths, mode="edge")
+
+        Vc = padB(V, 1).reshape(
+            (V.shape[0], nch, CH) + V.shape[2:])      # (F, nch, CH, ...)
+        dmc = padB(den_min, 1).reshape(den_min.shape[0], nch, CH)
+        angc = jax.tree_util.tree_map(
+            lambda t: padB(t, 0).reshape((nch, CH) + t.shape[1:]), ang)
+
+        def one_chunk(args):
+            vc, dc, ac = args                          # chunk slice
+
+            def per_band(v, d, dm):
+                den = jnp.maximum(den_at(v, d, ac),
+                                  jnp.finfo(jnp.float32).tiny)
+                return dm.reshape(
+                    dm.shape + (1,) * (den.ndim - 1)) / den
+
+            ratios = jax.vmap(per_band)(vc, spac, dc)  # (F, CH, ...)
+            return jnp.mean(ratios, axis=0)            # (CH, ...)
+
+        out = jax.lax.map(one_chunk,
+                          (jnp.swapaxes(Vc, 0, 1), jnp.swapaxes(dmc, 0, 1),
+                           angc))                      # (nch, CH, ...)
+        return out.reshape((nch * CH,) + out.shape[2:])[:B_]
 
     if is_2d:
         P2 = fused.reshape(fused.shape[0], grid2d.num_az, grid2d.num_el)

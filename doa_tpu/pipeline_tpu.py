@@ -178,9 +178,11 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         n2 = E_win.shape[-1]
         k2 = 2 * cfg.num_sources
         W = packing_width(n2, cfg.num_sources)
-        if cfg.subspace_impl in ("auto", "xla"):
+        if cfg.subspace_impl in ("auto", "xla", "fused"):
             # Transposed-layout XLA iteration: Vt.reshape IS the packed
             # layout (leading-dim merges only — no relayout pass).
+            # "fused" shares this dispatch (it replaces only the warm
+            # refinement below; r3 ADVICE: it used to be unreachable).
             if cfg.subspace_warm_start and E_win.shape[0] >= 32:
                 # warm start from the capture-mean subspace: per-window
                 # refinement reads E power_iters_warm times, not
@@ -192,16 +194,14 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 if cfg.subspace_impl == "fused":
                     # Fused warm-refine kernel (OPT-IN): each E tile
                     # crosses HBM once, but the per-group micro-dots
-                    # are latency-bound — measured 30.5 ms vs the XLA
-                    # iteration's 5.2 at the headline shape
-                    # (docs/PERF.md "r3 E-read fusion experiment"), so
-                    # the batched-einsum path stays the default.
+                    # are latency-bound at small 2N — measured 30.5 ms
+                    # vs the XLA iteration's 5.2 at the headline shape
+                    # (docs/PERF.md "warm-refine fusion experiments"),
+                    # so the batched-einsum path stays the default.
                     from doa_tpu.ops.pallas.warm_refine import (
                         warm_refine_escalated)
-                    B = E_win.shape[0]
                     Vp_flat = warm_refine_escalated(
-                        E_win, Vt_bar[0],
-                        iters=max(cfg.power_iters_warm, 1),
+                        E_win, Vt_bar[0], iters=cfg.power_iters_warm,
                         interpret=interp, **cfg.escalate_kwargs)
                     return Vp_flat.reshape(-1, W * k2, n2)
                 init = jnp.broadcast_to(

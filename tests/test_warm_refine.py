@@ -37,7 +37,7 @@ def test_warm_refine_matches_xla(B, N, K):
     n2, k2 = 2 * N, 2 * K
     E = _random_psd(rng, B, n2)
     Vt_bar, Vt_ref = _xla_warm(E, K, iters=3)
-    Vp, gamma, res = warm_refine_packed_pallas(
+    Vp, gamma, res, _ = warm_refine_packed_pallas(
         E, Vt_bar[0], iters=3, interpret=True)
     Vt_k = Vp.reshape(-1, k2, n2)[:B]
     np.testing.assert_allclose(np.asarray(Vt_k), np.asarray(Vt_ref),
@@ -60,18 +60,29 @@ def test_warm_refine_detector_matches_xla():
         Vt_prev = Vt
         Vt = cpx_ops._mgs_rows(W, passes=2 if r == 2 else 1)
     lam = jnp.sum(W * Vt_prev, axis=-1)
-    noise = (n2 - jnp.sum(lam, -1)) / (n2 - k2)
-    gamma_ref = jnp.min(lam, -1) / jnp.maximum(noise, 1e-30)
+    noise = jnp.maximum((n2 - jnp.sum(lam, -1)) / (n2 - k2), 1e-30)
+    gamma_ref = jnp.min(lam, -1) / noise
+    gmax_ref = jnp.max(lam, -1) / noise
     C = jnp.einsum("bkm,blm->bkl", W, Vt_prev)
     resid = W - jnp.einsum("bkl,blm->bkm", C, Vt_prev)
     res_ref = (jnp.sqrt(jnp.sum(resid ** 2, (-2, -1)))
                / jnp.maximum(jnp.sqrt(jnp.sum(W ** 2, (-2, -1))), 1e-30))
-    _, gamma, res = warm_refine_packed_pallas(
+    _, gamma, res, gmax = warm_refine_packed_pallas(
         E, Vt_bar[0], iters=3, interpret=True)
     np.testing.assert_allclose(np.asarray(gamma[:B]),
                                np.asarray(gamma_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res[:B]),
                                np.asarray(res_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gmax[:B]),
+                               np.asarray(gmax_ref), rtol=1e-4)
+    # the cpx_ops detector computes the same three quantities
+    g2, gm2, r2 = cpx_ops.escalation_detector(W, Vt_prev, n2)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gamma_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gm2), np.asarray(gmax_ref),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(res_ref),
+                               atol=1e-6)
 
 
 def test_warm_refine_escalated_matches_xla_escalation():
@@ -115,22 +126,32 @@ def test_warm_refine_per_subband_inits():
         Vt_bar[:, None], (F, Bsub, k2, n2)).reshape(F * Bsub, k2, n2)
     Vt_ref = cpx_ops.signal_subspace_from_E_T(
         E.reshape(F * Bsub, n2, n2), K, iters=3, init=init)
-    Vp, _, _ = warm_refine_packed_pallas(
+    Vp, _, _, _ = warm_refine_packed_pallas(
         E.reshape(F * Bsub, n2, n2), Vt_bar, iters=3, interpret=True)
     Vt_k = Vp.reshape(-1, k2, n2)[:F * Bsub]
     np.testing.assert_allclose(np.asarray(Vt_k), np.asarray(Vt_ref),
                                atol=2e-5)
 
 
-def test_pipeline_fused_vs_forced_xla_subspace():
-    """End-to-end: the default (fused warm-refine) pipeline matches
-    subspace_impl='xla' on the same capture."""
+def test_pipeline_fused_vs_forced_xla_subspace(monkeypatch):
+    """End-to-end: subspace_impl='fused' (the warm-refine kernel)
+    matches subspace_impl='xla' on the same capture — and the fused
+    pipeline MUST actually invoke the kernel (r3 ADVICE: the fused
+    dispatch branch was unreachable and this test passed for the wrong
+    reason; the counter pins the integration)."""
     import dataclasses
 
+    import doa_tpu.ops.pallas.warm_refine as wr
     from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
                                  GridSpec1D)
     from doa_tpu.pipeline_tpu import build_pipeline_tpu
     from tests import golden
+
+    calls = []
+    real = wr.warm_refine_escalated
+    monkeypatch.setattr(
+        wr, "warm_refine_escalated",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
 
     cfg = DoaConfig(
         geometry=ArrayGeometry(kind="ula", num_elements=8,
@@ -144,6 +165,7 @@ def test_pipeline_fused_vs_forced_xla_subspace():
     out_fused = build_pipeline_tpu(
         dataclasses.replace(cfg, subspace_impl="fused"),
         return_spectra=False)(x)
+    assert calls, "fused pipeline never invoked the warm-refine kernel"
     cfg_xla = dataclasses.replace(cfg, subspace_impl="xla")
     out_xla = build_pipeline_tpu(cfg_xla, return_spectra=False)(x)
     a_f = np.sort(np.asarray(out_fused.peak_angles["music"]), axis=-1)
