@@ -254,10 +254,13 @@ def _mgs_rows(Vt, passes: int = 1):
     return jnp.stack(rows, axis=-2)
 
 
-def escalation_detector(W, Vt_prev, n2: int):
+def escalation_detector(W, Vt_prev, n2: int, scale=None):
     """Free escalation detector from the final apply product
-    W = Vt_prev @ Ep (Vt_prev orthonormal rows, Ep trace-normalized so
-    tr(Ep) = n2). → (gamma, gamma_max, res) each f32[B]:
+    W = Vt_prev @ Ep (Vt_prev orthonormal rows; Ep trace-normalized so
+    tr(Ep) = n2, OR raw E with `scale` = tr(E)/n2 per window f32[B] —
+    the Rayleighs are then normalized here, on the tiny (B, 2K) lam
+    tensor, instead of materializing E/tr in HBM).
+    → (gamma, gamma_max, res) each f32[B]:
 
     * gamma: min captured Rayleigh / estimated noise-floor mean — ≈1
       when the weakest captured direction has degenerated into the
@@ -271,6 +274,8 @@ def escalation_detector(W, Vt_prev, n2: int):
     * res: span-invariance residual of Vt_prev (non-convergence)."""
     k2 = Vt_prev.shape[-2]
     lam = jnp.sum(W * Vt_prev, axis=-1)                 # (B, 2K)
+    if scale is not None:
+        lam = lam / scale[:, None]
     noise_mean = (n2 - jnp.sum(lam, axis=-1)) / (n2 - k2)
     noise_mean = jnp.maximum(noise_mean, 1e-30)
     gamma = jnp.min(lam, axis=-1) / noise_mean
@@ -374,16 +379,25 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     (B, 2K, 2K)-sized detector matmuls, never an extra E pass."""
     K2 = 2 * num_sources
     n2 = E.shape[-1]
-    tr = jnp.einsum("bii->b", E)[:, None, None] / n2
-    # (r3 note: skipping the Ep materialization on the warm path — MGS
-    # is scale-invariant — measured as a COMPILE-TIME pathology on this
-    # container's toolchain: the headline pipeline failed to compile in
-    # 15 min vs ~4 min with Ep materialized. Reverted; the ~2 HBM
-    # passes it would save are documented in docs/PERF.md.)
-    Ep = E / jnp.maximum(tr, 1e-30)
-    for _ in range(squarings):
-        Ep = jnp.einsum("bij,bjk->bik", Ep, Ep,
-                        preferred_element_type=jnp.float32)
+    tr = jnp.einsum("bii->b", E) / n2                # (B,)
+    if squarings > 0:
+        # trace-normalize so powering can't overflow f32
+        Ep = E / jnp.maximum(tr[:, None, None], 1e-30)
+        for _ in range(squarings):
+            Ep = jnp.einsum("bij,bjk->bik", Ep, Ep,
+                            preferred_element_type=jnp.float32)
+        scale = None
+    else:
+        # e1: MGS is scale-invariant, so iterate on RAW E — the E/tr
+        # materialization costs a full read+write pass over the window
+        # stack (2×2.1 GB ≈ 8.6 ms at the c5 shape) for nothing. Only
+        # the detector's Rayleighs need the normalization, applied to
+        # the tiny (B, 2K) lam tensor (escalation_detector(scale=)).
+        # (r3's attempt at this folded the division into the apply
+        # einsums and hit a 15-min compile pathology; consuming E
+        # UNMODIFIED avoids it — re-measured r4, docs/PERF.md.)
+        Ep = E
+        scale = jnp.maximum(tr, 1e-30)
     if init is not None:
         Vt = init                   # must be orthonormal rows
         rounds = iters // (1 << squarings) + 1
@@ -403,8 +417,9 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
         W = jnp.einsum("bkn,bnm->bkm", Vt, Ep,
                        preferred_element_type=jnp.float32)
     # Detector (all free/small given W = Vt_prev @ Ep, Vt_prev
-    # orthonormal, tr(Ep) = 2N by construction).
-    gamma, gamma_max, res = escalation_detector(W, Vt_prev, n2)
+    # orthonormal; scale carries the raw-E trace normalization).
+    gamma, gamma_max, res = escalation_detector(W, Vt_prev, n2,
+                                                scale=scale)
     bad, score = escalation_flags(gamma, gamma_max, res,
                                   escalate_gap, escalate_tol,
                                   escalate_signal_floor)

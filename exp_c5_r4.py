@@ -1,0 +1,200 @@
+"""exp_c5_r4.py — round-4 c5 flagship measurements (VERDICT r3 items 3/4).
+
+Stages (arg = stage name; default "all"):
+  base   — c5 default pipeline (wb_fast + warm XLA subspaces) after the
+           r4 Ep-materialization skip; + bf16 subband-scan variant
+  fused  — subspace_impl='fused' (warm_refine kernel) at its DESIGN
+           shape (2N=128: one full MXU tile per window) vs the XLA
+           warm path; standalone stage timings for attribution
+  hier   — hierarchical wideband scan with the r4 chunked refinement:
+           full-grid coarse (regression vs r3's 278.5 ms) and a 3°
+           coarse grid (61×31) + refine, angle parity vs dense
+Run on TPU: timeout 1200 python exp_c5_r4.py base   (etc., ONE at a time)
+"""
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def _log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def _fence(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def _time(call, iters=8, warm=2):
+    for _ in range(warm):
+        _fence(call())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = call()
+    _fence(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _capture(T):
+    from doa_tpu.io.synthetic import SourceSpec, synth_wideband_ura_iq
+    return synth_wideband_ura_iq(
+        [SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.0,
+                    bandwidth_norm=0.5),
+         SourceSpec(az_deg=35.0, el_deg=60.0, freq_norm=0.0,
+                    bandwidth_norm=0.5)],
+        (8, 8), 0.5, T, fractional_bw=0.1, snr_db=10,
+        seed=0).astype(np.complex64)
+
+
+def _pipe_call(cfg, x, label):
+    import jax
+    import jax.numpy as jnp
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    N = 64
+    T = x.shape[0]
+    pipe = build_pipeline_tpu(cfg, return_spectra=False)
+    assert pipe.wb_fast, f"{label}: wb_fast gate did not engage"
+    xil = jax.device_put(
+        np.ascontiguousarray(x).view(np.float32).reshape(T, 2 * N))
+    cr = jnp.ones((N,), jnp.float32)
+    ci = jnp.zeros((N,), jnp.float32)
+    Ar, Ai = pipe.steering_planes
+    wbi = pipe.wb_ilv_args
+    return lambda: pipe.jitted_ilv(xil, cr, ci, Ar, Ai, *wbi)
+
+
+def _report(label, call, B):
+    _log(f"compiling {label} …")
+    t0 = time.perf_counter()
+    _fence(call())
+    _log(f"  compile+first: {time.perf_counter() - t0:.1f} s")
+    dt = _time(call)
+    _log(f"  {label}: {dt*1e3:.2f} ms/call pipelined "
+         f"({B/dt:.0f} snapshots/s, {B/dt/9765.6:.2f}x real-time)")
+    out = call()
+    ang = np.asarray(out["peak_angles"]["music"])
+    med = np.median(ang.reshape(-1, 2, 2), axis=0)
+    _log(f"  median (az, el) pairs: {med.tolist()}")
+    return dt, ang
+
+
+def stage_base():
+    from doa_tpu.configs import PRESETS
+
+    cfg = dataclasses.replace(PRESETS["c5_ura64_wideband"],
+                              cov_impl="pallas")
+    B = 2048
+    x = _capture(B * cfg.snapshot_size)
+    dt0, ang0 = _report("c5 default (warm XLA subspace, r4 Ep-skip)",
+                        _pipe_call(cfg, x, "default"), B)
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    dt1, ang1 = _report("c5 bf16 subband scan",
+                        _pipe_call(cfg_bf, x, "bf16"), B)
+    _log(f"  bf16 angle delta vs f32: "
+         f"{np.abs(ang1 - ang0).max():.4f} deg")
+
+
+def stage_fused():
+    import jax
+    import jax.numpy as jnp
+    from doa_tpu.configs import PRESETS
+    from doa_tpu.ops import cpx_ops
+    from doa_tpu.ops.pallas.warm_refine import warm_refine_packed_pallas
+
+    cfg = dataclasses.replace(PRESETS["c5_ura64_wideband"],
+                              cov_impl="pallas")
+    B = 2048
+    x = _capture(B * cfg.snapshot_size)
+
+    # --- standalone stage attribution at the c5 subspace shape -------
+    F, n2, K = 16, 128, 2
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((F * B, n2, 8)).astype(np.float32)
+    E = jax.device_put(
+        np.einsum("bik,bjk->bij", A, A).astype(np.float32)
+        + 0.1 * np.eye(n2, dtype=np.float32))
+    Vt_bar = cpx_ops.signal_subspace_from_E_T(
+        jnp.mean(E.reshape(F, B, n2, n2), axis=1), K, iters=8)
+    Vt_bar.block_until_ready()
+
+    init = jnp.broadcast_to(
+        Vt_bar[:, None], (F, B, 2 * K, n2)).reshape(F * B, 2 * K, n2)
+    xla_warm = jax.jit(lambda e: cpx_ops.signal_subspace_from_E_T(
+        e, K, iters=3, init=init, escalate_extra=40))
+    _log("compiling XLA warm refinement (standalone) …")
+    dt = _time(lambda: xla_warm(E))
+    _log(f"  XLA warm subspace stage (3 applies + detector): "
+         f"{dt*1e3:.2f} ms")
+
+    _log("compiling warm_refine kernel (standalone) …")
+    try:
+        kern = jax.jit(lambda e: warm_refine_packed_pallas(
+            e, Vt_bar, iters=3)[0])
+        dt_k = _time(lambda: kern(E))
+        _log(f"  warm_refine kernel (one E pass, in-VMEM): "
+             f"{dt_k*1e3:.2f} ms")
+    except Exception as e:
+        _log(f"  warm_refine kernel FAILED: {type(e).__name__}: "
+             f"{str(e)[:200]}")
+
+    # --- full pipeline with subspace_impl='fused' ---------------------
+    try:
+        cfg_f = dataclasses.replace(cfg, subspace_impl="fused")
+        _report("c5 subspace_impl='fused' pipeline",
+                _pipe_call(cfg_f, x, "fused"), B)
+    except Exception as e:
+        _log(f"  fused pipeline FAILED: {type(e).__name__}: "
+             f"{str(e)[:200]}")
+
+
+def stage_hier():
+    from doa_tpu.configs import GridSpec2D, PRESETS
+
+    cfg = dataclasses.replace(PRESETS["c5_ura64_wideband"],
+                              cov_impl="pallas")
+    B = 2048
+    x = _capture(B * cfg.snapshot_size)
+    dt_d, ang_d = _report("c5 dense (reference row)",
+                          _pipe_call(cfg, x, "dense"), B)
+
+    cfg_h = dataclasses.replace(cfg, scan_mode="hierarchical")
+    dt_h, ang_h = _report("c5 hierarchical FULL coarse grid (181x91)",
+                          _pipe_call(cfg_h, x, "hier-full"), B)
+
+    cfg_hc = dataclasses.replace(
+        cfg, scan_mode="hierarchical",
+        grid2d=GridSpec2D(num_az=61, num_el=31))
+    dt_c, ang_c = _report("c5 hierarchical 3-deg coarse grid (61x31)",
+                          _pipe_call(cfg_hc, x, "hier-coarse"), B)
+    # parity: refined coarse-grid peaks vs the dense grid's argmax
+    # (dense grid is 1-deg az / 1-deg el, so agreement ≤ ~0.6 deg)
+    d = np.sort(ang_d.reshape(-1, 2, 2), axis=1)
+    c = np.sort(ang_c.reshape(-1, 2, 2), axis=1)
+    _log(f"  hier-coarse vs dense: median |delta| = "
+         f"{np.median(np.abs(c - d)):.3f} deg, "
+         f"p99 = {np.quantile(np.abs(c - d), 0.99):.3f} deg")
+
+
+STAGES = {"base": stage_base, "fused": stage_fused, "hier": stage_hier}
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    for name, fn in STAGES.items():
+        if which in (name, "all"):
+            _log(f"=== stage {name} ===")
+            fn()
+
+
+if __name__ == "__main__":
+    main()
