@@ -272,19 +272,13 @@ class DoaConfig:
     # "auto" (default) = the batched-einsum XLA iteration in transposed
     # layout (cpx_ops.signal_subspace_from_E_T — measured fastest; the
     # warm path skips the Ep materialization so E crosses HBM once per
-    # apply); "fused" = the warm-refine Pallas kernel
-    # (ops/pallas/warm_refine.py — each E tile crosses HBM exactly
-    # once, but its per-group micro-dots are LATENCY-bound at small
-    # 2N: 30.5 vs 5.2 ms at the headline shape; see docs/PERF.md
-    # "warm-refine fusion experiments" for the shape envelope).
-    # "fused" is EXPERIMENTAL on this container's Mosaic toolchain —
-    # some fused programs SIGABRT at compile (uncatchable; docs/PERF.md
-    # toolchain caveat), so production configs should keep the default
-    # and treat "fused" as an opt-in measured per shape. Applies only
-    # where the warm start engages (warm_start on, batch ≥ 32); cold
-    # batches fall back to the einsum path. "xla" forces the einsum
-    # path everywhere; "pallas" = the cold in-VMEM consolidated kernel
-    # (ops/pallas/subspace.py).
+    # apply); "xla" forces the einsum path everywhere; "pallas" = the
+    # cold in-VMEM consolidated kernel (ops/pallas/subspace.py).
+    # (An r3 "fused" warm-refine Pallas kernel was REMOVED in r4:
+    # 6× slower at 2N=32 — per-window micro-dot latency — and its
+    # design shape 2N=128 fails to compile on this Mosaic toolchain,
+    # while the einsum warm path runs at 1.2× its E-read floor.
+    # Post-mortem: docs/PERF.md "warm-refine fusion experiments".)
     subspace_impl: str = "auto"
     # Gram input precision: "bfloat16" quarters the MXU pass count of the
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
@@ -323,10 +317,10 @@ class DoaConfig:
         if self.cov_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"cov_impl {self.cov_impl!r} not 'auto' | 'xla' | 'pallas'")
-        if self.subspace_impl not in ("auto", "xla", "pallas", "fused"):
+        if self.subspace_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"subspace_impl {self.subspace_impl!r} not "
-                "'auto' | 'xla' | 'pallas' | 'fused'")
+                "'auto' | 'xla' | 'pallas'")
         if self.cov_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")
@@ -350,12 +344,6 @@ class DoaConfig:
                 stacklevel=2)
         if self.subspace_escalate_capacity < 1:
             raise ValueError("subspace_escalate_capacity must be >= 1")
-        if (self.subspace_impl == "fused" and self.subspace_warm_start
-                and self.power_iters_warm < 1):
-            raise ValueError(
-                "subspace_impl='fused' (the warm-refine kernel) needs "
-                "power_iters_warm >= 1 — iters counts in-kernel "
-                "E-applies; 0 would skip the refinement entirely")
         if self.wideband.fusion not in ("incoherent", "cssm",
                                         "cssm_auto"):
             raise ValueError(

@@ -123,25 +123,11 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
             jnp.mean(E_sub, axis=1), cfg.num_sources,
             iters=max(cfg.power_iters, 8),
             **cfg.escalate_kwargs)                   # (F, 2K, 2N)
-        from doa_tpu.ops.pallas.subspace import packing_width
-        Wp = packing_width(n2, cfg.num_sources)
-        if cfg.subspace_impl == "fused" and B % Wp == 0:
-            # Fused warm-refine kernel with per-subband inits (OPT-IN
-            # and EXPERIMENTAL on this container's Mosaic toolchain —
-            # no runtime fallback exists for a compile-time SIGABRT;
-            # measured envelope in docs/PERF.md "warm-refine fusion
-            # experiments"); a packing-misaligned B falls back to the
-            # einsum path.
-            import jax as _jax
-            from doa_tpu.ops.pallas.warm_refine import (
-                warm_refine_escalated)
-            Vp = warm_refine_escalated(
-                E_sub.reshape(F * B, n2, n2), Vt_bar,
-                iters=cfg.power_iters_warm,
-                interpret=_jax.default_backend() == "cpu",
-                **cfg.escalate_kwargs)
-            Vt = Vp.reshape(-1, K2, n2)[:F * B]
-            return jnp.swapaxes(Vt, -1, -2).reshape(F, B, n2, K2)
+        # (The r3 fused warm-refine Pallas kernel was removed in r4:
+        # it cannot compile at this path's design shape 2N=128 on this
+        # Mosaic toolchain, and the einsum refinement below measures
+        # 20.7 ms standalone at c5 — 1.2× its E-read floor.
+        # Post-mortem: docs/PERF.md "warm-refine fusion experiments".)
         init = jnp.broadcast_to(
             Vt_bar[:, None], (F, B, K2, n2)).reshape(F * B, K2, n2)
         Vt = cpx_ops.signal_subspace_from_E_T(

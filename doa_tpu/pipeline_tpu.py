@@ -178,11 +178,15 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         n2 = E_win.shape[-1]
         k2 = 2 * cfg.num_sources
         W = packing_width(n2, cfg.num_sources)
-        if cfg.subspace_impl in ("auto", "xla", "fused"):
+        if cfg.subspace_impl in ("auto", "xla"):
             # Transposed-layout XLA iteration: Vt.reshape IS the packed
             # layout (leading-dim merges only — no relayout pass).
-            # "fused" shares this dispatch (it replaces only the warm
-            # refinement below; r3 ADVICE: it used to be unreachable).
+            # (A fused warm-refine Pallas kernel was measured here in
+            # r3/r4 and REMOVED: 6× slower at 2N=32 — per-window
+            # micro-dot latency — and its design shape 2N=128 fails to
+            # compile on this Mosaic toolchain, while this XLA path
+            # runs at 1.2× its E-read floor. Post-mortem:
+            # docs/PERF.md "warm-refine fusion experiments".)
             if cfg.subspace_warm_start and E_win.shape[0] >= 32:
                 # warm start from the capture-mean subspace: per-window
                 # refinement reads E power_iters_warm times, not
@@ -191,19 +195,6 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     jnp.mean(E_win, axis=0)[None], cfg.num_sources,
                     iters=max(cfg.power_iters, 8),
                     **cfg.escalate_kwargs)
-                if cfg.subspace_impl == "fused":
-                    # Fused warm-refine kernel (OPT-IN): each E tile
-                    # crosses HBM once, but the per-group micro-dots
-                    # are latency-bound at small 2N — measured 30.5 ms
-                    # vs the XLA iteration's 5.2 at the headline shape
-                    # (docs/PERF.md "warm-refine fusion experiments"),
-                    # so the batched-einsum path stays the default.
-                    from doa_tpu.ops.pallas.warm_refine import (
-                        warm_refine_escalated)
-                    Vp_flat = warm_refine_escalated(
-                        E_win, Vt_bar[0], iters=cfg.power_iters_warm,
-                        interpret=interp, **cfg.escalate_kwargs)
-                    return Vp_flat.reshape(-1, W * k2, n2)
                 init = jnp.broadcast_to(
                     Vt_bar, (E_win.shape[0],) + Vt_bar.shape[1:])
                 Vt = cpx_ops.signal_subspace_from_E_T(

@@ -101,18 +101,19 @@ def stage_base():
 
 
 def stage_fused():
+    """Standalone XLA warm-refinement stage at the c5 subspace shape.
+
+    Measured r4 (this stage, before the warm_refine kernel's removal):
+    XLA warm stage 20.73 ms (3 applies + detector over (32768, 128,
+    128) — 1.2× its 4-pass E-read floor at the measured 495 GB/s);
+    the warm_refine Pallas kernel FAILED TO COMPILE at this shape on
+    this Mosaic toolchain (tpu_compile_helper exit 1), standalone AND
+    in-pipeline — the kernel was removed (docs/PERF.md post-mortem)."""
     import jax
     import jax.numpy as jnp
-    from doa_tpu.configs import PRESETS
     from doa_tpu.ops import cpx_ops
-    from doa_tpu.ops.pallas.warm_refine import warm_refine_packed_pallas
 
-    cfg = dataclasses.replace(PRESETS["c5_ura64_wideband"],
-                              cov_impl="pallas")
     B = 2048
-    x = _capture(B * cfg.snapshot_size)
-
-    # --- standalone stage attribution at the c5 subspace shape -------
     F, n2, K = 16, 128, 2
     rng = np.random.default_rng(0)
     A = rng.standard_normal((F * B, n2, 8)).astype(np.float32)
@@ -131,26 +132,6 @@ def stage_fused():
     dt = _time(lambda: xla_warm(E))
     _log(f"  XLA warm subspace stage (3 applies + detector): "
          f"{dt*1e3:.2f} ms")
-
-    _log("compiling warm_refine kernel (standalone) …")
-    try:
-        kern = jax.jit(lambda e: warm_refine_packed_pallas(
-            e, Vt_bar, iters=3)[0])
-        dt_k = _time(lambda: kern(E))
-        _log(f"  warm_refine kernel (one E pass, in-VMEM): "
-             f"{dt_k*1e3:.2f} ms")
-    except Exception as e:
-        _log(f"  warm_refine kernel FAILED: {type(e).__name__}: "
-             f"{str(e)[:200]}")
-
-    # --- full pipeline with subspace_impl='fused' ---------------------
-    try:
-        cfg_f = dataclasses.replace(cfg, subspace_impl="fused")
-        _report("c5 subspace_impl='fused' pipeline",
-                _pipe_call(cfg_f, x, "fused"), B)
-    except Exception as e:
-        _log(f"  fused pipeline FAILED: {type(e).__name__}: "
-             f"{str(e)[:200]}")
 
 
 def stage_hier():
