@@ -190,7 +190,11 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             if cfg.subspace_warm_start and E_win.shape[0] >= 32:
                 # warm start from the capture-mean subspace: per-window
                 # refinement reads E power_iters_warm times, not
-                # power_iters (see configs.subspace_warm_start)
+                # power_iters (see configs.subspace_warm_start).
+                # (r4 measured: SUBSAMPLING this mean (E_win[::8]) to
+                # cut the pass is a LOSS — 10.62 vs 9.76 ms headline;
+                # the strided slice materializes as a gather that costs
+                # more than the full contiguous mean pass it replaces.)
                 Vt_bar = cpx_ops.signal_subspace_from_E_T(
                     jnp.mean(E_win, axis=0)[None], cfg.num_sources,
                     iters=max(cfg.power_iters, 8),

@@ -162,7 +162,120 @@ def stage_hier():
          f"p99 = {np.quantile(np.abs(c - d), 0.99):.3f} deg")
 
 
-STAGES = {"base": stage_base, "fused": stage_fused, "hier": stage_hier}
+def stage_split():
+    """Standalone c5 stage attribution: front-end kernel, warm
+    subspace, scan+fusion (current lax.scan form vs restructured
+    two-pass chunked form), peaks — to aim the next optimization."""
+    import jax
+    import jax.numpy as jnp
+    from doa_tpu.configs import PRESETS
+    from doa_tpu.cpx import Cpx, embed_vector
+    from doa_tpu.ops import cpx_ops
+    from doa_tpu.ops.wideband import wideband_steering_stack
+    from doa_tpu.pipeline import _steering_fn
+
+    cfg = dataclasses.replace(PRESETS["c5_ura64_wideband"],
+                              cov_impl="pallas")
+    B, F, N, K = 2048, 16, 64, 2
+    n2, k2 = 2 * N, 2 * K
+    G = cfg.grid2d.num_az * cfg.grid2d.num_el
+    rng = np.random.default_rng(0)
+
+    # V stack (F, B, 2N, 2K) and steering stack (F, G, N)
+    Vh = rng.standard_normal((F, B, n2, k2)).astype(np.float32)
+    Vh /= np.linalg.norm(Vh, axis=2, keepdims=True)
+    V = jax.device_put(Vh)
+    A_host = wideband_steering_stack(cfg, _steering_fn(cfg))
+    Ar = jax.device_put(A_host.real.astype(np.float32))
+    Ai = jax.device_put(A_host.imag.astype(np.float32))
+
+    def scan_current(V, Ar, Ai):
+        def step(acc, vA):
+            v, ar, ai = vA
+            den = jnp.maximum(cpx_ops.music_denominator_subspace(
+                v, Cpx(ar, ai)), 0.0)
+            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return acc + P / jnp.max(P, axis=-1, keepdims=True), None
+        acc0 = jnp.zeros((B, G), jnp.float32)
+        return jax.lax.scan(step, acc0, (V, Ar, Ai))[0] / F
+
+    def scan_twopass(V, Ar, Ai, chunk=2048):
+        """Pass 1: per-subband dmin over g WITHOUT materializing the
+        (B, G) den (g-chunked running min); pass 2: g-chunked fused
+        accumulation written once. 2× the einsum flops, ~1/3 the HBM
+        traffic of the scan-current form."""
+        At = jnp.concatenate([jnp.swapaxes(Ar, 1, 2),
+                              jnp.swapaxes(Ai, 1, 2)], axis=1)  # (F,2N,G)
+        nch = -(-G // chunk)
+        Gp = nch * chunk
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, Gp - G)))
+        Atc = jnp.moveaxis(At.reshape(F, n2, nch, chunk), 2, 0)
+
+        def den_chunk(atc, v):                     # (F,2N,C),(F,B,2N,2K)
+            # k-before-g output order: a (…, 2K) minor dim pads 32×
+            # (measurement lesson 1) — keep C minor, 2K second-minor.
+            Y = jnp.einsum("fng,fbnk->fbkg", atc, v,
+                           preferred_element_type=jnp.float32)
+            nrm = jnp.sum(atc * atc, axis=1)       # (F, C)
+            return jnp.maximum(
+                nrm[:, None] - jnp.sum(Y * Y, 2),
+                jnp.finfo(jnp.float32).tiny)       # (F, B, C)
+
+        def min_step(dmin, atc):
+            return jnp.minimum(dmin, jnp.min(den_chunk(atc, V), -1)), None
+        dmin0 = jnp.full((F, B), jnp.inf, jnp.float32)
+        dmin = jax.lax.scan(min_step, dmin0, Atc)[0]   # (F, B)
+
+        def acc_step(_, atc):
+            d = den_chunk(atc, V)
+            return None, jnp.sum(dmin[..., None] / d, axis=0) / F
+        out = jax.lax.scan(acc_step, None, Atc)[1]     # (nch, B, C)
+        return jnp.moveaxis(out, 0, 1).reshape(B, Gp)[:, :G]
+
+    jc = jax.jit(scan_current)
+    _log("compiling scan-current …")
+    dt_c = _time(lambda: jc(V, Ar, Ai))
+    _log(f"  scan+fusion (current lax.scan-over-subbands): "
+         f"{dt_c*1e3:.2f} ms")
+    jt = jax.jit(scan_twopass)
+    _log("compiling scan-twopass …")
+    dt_t = _time(lambda: jt(V, Ar, Ai))
+    _log(f"  scan+fusion (two-pass g-chunked): {dt_t*1e3:.2f} ms")
+    P1 = np.asarray(jc(V, Ar, Ai))
+    P2 = np.asarray(jt(V, Ar, Ai))
+    _log(f"  parity |current − twopass| max: "
+         f"{np.max(np.abs(P1 - P2)):.2e}")
+
+    # peaks stage on the fused spectrum
+    from doa_tpu.ops.peaks import find_local_max_2d
+    g2 = cfg.grid2d
+    fused = jt(V, Ar, Ai)
+    fused.block_until_ready()
+    jp = jax.jit(lambda P: find_local_max_2d(
+        P.reshape(B, g2.num_az, g2.num_el), 2,
+        (g2.az_lo_deg, g2.az_hi_deg), (g2.el_lo_deg, g2.el_hi_deg)))
+    dt_p = _time(lambda: jp(fused))
+    _log(f"  2-D peaks on fused spectrum: {dt_p*1e3:.2f} ms")
+
+    # bf16 variants of both scan forms
+    def scan_current_bf16(V, Ar, Ai):
+        def step(acc, vA):
+            v, ar, ai = vA
+            den = jnp.maximum(cpx_ops.music_denominator_subspace(
+                v, Cpx(ar, ai), compute_dtype=jnp.bfloat16), 0.0)
+            P = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+            return acc + P / jnp.max(P, axis=-1, keepdims=True), None
+        acc0 = jnp.zeros((B, G), jnp.float32)
+        return jax.lax.scan(step, acc0, (V, Ar, Ai))[0] / F
+
+    jb = jax.jit(scan_current_bf16)
+    _log("compiling scan-current bf16 …")
+    dt_b = _time(lambda: jb(V, Ar, Ai))
+    _log(f"  scan+fusion (current, bf16): {dt_b*1e3:.2f} ms")
+
+
+STAGES = {"base": stage_base, "fused": stage_fused, "hier": stage_hier,
+          "split": stage_split}
 
 
 def main():
