@@ -280,13 +280,17 @@ def escalation_detector(W, Vt_prev, n2: int, scale=None):
     noise_mean = jnp.maximum(noise_mean, 1e-30)
     gamma = jnp.min(lam, axis=-1) / noise_mean
     gamma_max = jnp.max(lam, axis=-1) / noise_mean
+    # Invariance residual WITHOUT materializing resid = W − C·Vt_prev:
+    # with orthonormal Vt_prev rows, ‖C·Vt_prev‖_F = ‖C‖_F exactly, so
+    # ‖resid‖² = ‖W‖² − ‖C‖² (Pythagoras in the row space) — drops one
+    # (B, 2K, 2N) einsum + its norm passes. f32 cancellation floors the
+    # computable res at ~3e-4, far under any useful tol (0.05).
     C = jnp.einsum("bkm,blm->bkl", W, Vt_prev,
                    preferred_element_type=jnp.float32)  # Vᵀ Ep V
-    resid = W - jnp.einsum("bkl,blm->bkm", C, Vt_prev,
-                           preferred_element_type=jnp.float32)
-    num = jnp.sqrt(jnp.sum(resid * resid, axis=(-2, -1)))
-    den = jnp.sqrt(jnp.sum(W * W, axis=(-2, -1)))
-    res = num / jnp.maximum(den, 1e-30)
+    w2 = jnp.sum(W * W, axis=(-2, -1))
+    c2 = jnp.sum(C * C, axis=(-2, -1))
+    res = jnp.sqrt(jnp.maximum(w2 - c2, 0.0)
+                   / jnp.maximum(w2, 1e-30))
     return gamma, gamma_max, res
 
 
