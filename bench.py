@@ -202,16 +202,24 @@ def _run(T: int, fused: bool) -> float:
     _log(f"latency-fenced: {B / lat:.0f} snapshots/s "
          f"({lat * 1e3:.1f} ms/call)")
 
-    _log("timing: pipelined")
-    iters = 16
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = call()
-    fence(out)
-    dt = (time.perf_counter() - t0) / iters
-    _log(f"pipelined: {B / dt:.0f} snapshots/s ({dt * 1e3:.2f} ms/call)")
-    return B / dt
+    # Pipelined = enqueue N, fence once. The single ~25 ms relay fence
+    # amortizes as 25/N ms/call, so N=16 (the r2/r3 discipline) still
+    # carried ~1.6 ms/call of one-time fence in the "steady-state"
+    # number. N=64 measures actual steady state (production drains
+    # results asynchronously and fences ~never); the N=16 row is kept
+    # on stderr for cross-round comparability. (docs/PERF.md.)
+    dts = {}
+    for iters in (16, 64):
+        _log(f"timing: pipelined (N={iters})")
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = call()
+        fence(out)
+        dts[iters] = (time.perf_counter() - t0) / iters
+        _log(f"pipelined N={iters}: {B / dts[iters]:.0f} snapshots/s "
+             f"({dts[iters] * 1e3:.2f} ms/call)")
+    return B / dts[64]
 
 
 def main():
