@@ -124,6 +124,18 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         if is_2d:
             g2 = cfg.grid2d
             P2 = P.reshape(P.shape[0], g2.num_az, g2.num_el)
+            if cov_impl == "pallas" and cfg.num_max_vals <= 4:
+                # Fused 2-D peaks kernel: one pass over the spectrum
+                # instead of XLA's mask/flatten/argmax/gather chain
+                # (6.6 → ~1 ms at the c5 shape — docs/PERF.md).
+                from doa_tpu.ops.pallas.peaks2d import (
+                    find_local_max_2d_pallas)
+                v, az, el = find_local_max_2d_pallas(
+                    P2, cfg.num_max_vals,
+                    (g2.az_lo_deg, g2.az_hi_deg),
+                    (g2.el_lo_deg, g2.el_hi_deg),
+                    refine=refine_peaks, interpret=interp)
+                return v, jnp.stack([az, el], axis=-1)
             v, az, el = find_local_max_2d(
                 P2, cfg.num_max_vals,
                 (g2.az_lo_deg, g2.az_hi_deg), (g2.el_lo_deg, g2.el_hi_deg),
