@@ -284,6 +284,15 @@ class DoaConfig:
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
     # — fine above threshold SNR, see docs/ACCURACY.md).
     cov_dtype: str = "float32"
+    # 2-D peak extraction implementation (ULA 1-D peaks fuse into the
+    # scan kernel and ignore this): "auto" = the fused Pallas 2-D peaks
+    # kernel whenever the Pallas covariance path is active, XLA
+    # otherwise (the measured default); "xla" keeps the Pallas
+    # covariance/scan kernels but opts out of peaks2d alone (the kernel
+    # is shape-sensitive on some Mosaic toolchains — block_b=64 fails
+    # to compile — and a compile failure inside the one jitted program
+    # cannot be caught piecemeal); "pallas" forces the kernel.
+    peaks_impl: str = "auto"
     # Overlap-halo exchange in the SHARDED pipeline (SURVEY §2.5 ring
     # row): "xla" = lax.ppermute collective (default; zero-fills the
     # last shard), "pallas" = fused ICI async-remote-copy kernel
@@ -327,6 +336,10 @@ class DoaConfig:
         if self.halo_impl not in ("xla", "pallas"):
             raise ValueError(
                 f"halo_impl {self.halo_impl!r} not 'xla' | 'pallas'")
+        if self.peaks_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"peaks_impl {self.peaks_impl!r} not "
+                "'auto' | 'xla' | 'pallas'")
         if self.power_schedule not in ("e1", "e2", "e4"):
             raise ValueError(
                 f"power_schedule {self.power_schedule!r} not one of "
@@ -387,17 +400,43 @@ class DoaConfig:
         """Squaring passes for the power schedule (e1→0, e2→1, e4→2)."""
         return {"e1": 0, "e2": 1, "e4": 2}[self.power_schedule]
 
-    @property
-    def escalate_kwargs(self) -> dict:
+    def escalate_kwargs_for(self, snapshots: int,
+                            n2: Optional[int] = None) -> dict:
         """kwargs for the cpx_ops signal-subspace escalation detector
-        (see subspace_escalate above; extra=0 disables)."""
+        at an operating point of `snapshots` samples per covariance
+        window over an n2-dimensional embedding (default
+        2·effective_num_elements); extra=0 disables.
+
+        The source-free gate compares γ_max against a SIGNAL FLOOR that
+        must sit above the Wishart noise-bulk edge ≈ (1 + √(n2/S))² —
+        at the headline point (n2=32, S=1024) the edge is 1.37 and the
+        static 2.5 default clears it, but short windows push the bulk
+        up toward and past 2.5 (S=64, n2=32 → 2.91; a wideband subband
+        at S_sub=64, n2=128 → 5.83), where a fixed floor would let
+        PURE-NOISE captures qualify as signal-bearing and spuriously
+        escalate (exactly the r3 3× regression class). The effective
+        floor is therefore max(subspace_escalate_signal_floor,
+        1.5 × edge): unchanged at the measured operating points,
+        noise-proof at short-snapshot ones. Pinned by
+        tests/test_power_subspace.py::test_small_snapshot_noise_never_escalates."""
+        import math
+        if n2 is None:
+            n2 = 2 * self.effective_num_elements
+        edge = (1.0 + math.sqrt(n2 / max(snapshots, 1))) ** 2
+        floor = max(self.subspace_escalate_signal_floor, 1.5 * edge)
         return dict(
             escalate_extra=(self.subspace_escalate_extra
                             if self.subspace_escalate else 0),
             escalate_gap=self.subspace_escalate_gap,
             escalate_tol=self.subspace_tol,
-            escalate_signal_floor=self.subspace_escalate_signal_floor,
+            escalate_signal_floor=floor,
             escalate_capacity=self.subspace_escalate_capacity)
+
+    @property
+    def escalate_kwargs(self) -> dict:
+        """escalate_kwargs_for at the narrowband operating point
+        (snapshot_size samples per window)."""
+        return self.escalate_kwargs_for(self.snapshot_size)
 
     @property
     def hop(self) -> int:

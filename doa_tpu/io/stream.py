@@ -31,6 +31,13 @@ class StreamStats:
     blocks_processed: int = 0
     samples_processed: int = 0
     windows_emitted: int = 0
+    # Subspace-escalation observability (DoaResult.escalation_*,
+    # accumulated over emitted blocks): windows the safety net fired
+    # on, and flagged windows that exceeded subspace_escalate_capacity
+    # and stayed unescalated — overflow > 0 under sustained threshold-
+    # SNR load means the capacity is saturating.
+    windows_escalated: int = 0
+    escalation_overflow: int = 0
 
     @property
     def drop_fraction(self) -> float:
@@ -99,6 +106,10 @@ class StreamingDriver:
         if first is not None:
             np.asarray(first.ravel()[:1])       # completion fence
             self.stats.windows_emitted += int(first.shape[0])
+        if getattr(res, "escalation_flagged", None) is not None:
+            self.stats.windows_escalated += int(res.escalation_flagged)
+            self.stats.escalation_overflow += int(
+                res.escalation_overflow)
         self.results.put((idx, res))
 
     def _run(self):

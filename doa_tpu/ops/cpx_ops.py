@@ -183,7 +183,8 @@ def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 8,
                              escalate_gap: float = 3.0,
                              escalate_tol: float = 0.05,
                              escalate_signal_floor: float = 2.5,
-                             escalate_capacity: int = 1024):
+                             escalate_capacity: int = 1024,
+                             return_stats: bool = False):
     """Orthonormal basis of the embedded SIGNAL subspace via subspace
     (power) iteration: (B, 2N, 2K) f32.
 
@@ -210,7 +211,8 @@ def signal_subspace_embedded(R: Cpx, num_sources: int, iters: int = 8,
                                   escalate_tol=escalate_tol,
                                   escalate_signal_floor=(
                                       escalate_signal_floor),
-                                  escalate_capacity=escalate_capacity)
+                                  escalate_capacity=escalate_capacity,
+                                  return_stats=return_stats)
 
 
 def signal_subspace_from_E(E, num_sources: int, iters: int = 8,
@@ -219,19 +221,23 @@ def signal_subspace_from_E(E, num_sources: int, iters: int = 8,
                            escalate_gap: float = 3.0,
                            escalate_tol: float = 0.05,
                            escalate_signal_floor: float = 2.5,
-                           escalate_capacity: int = 1024):
+                           escalate_capacity: int = 1024,
+                           return_stats: bool = False):
     """As signal_subspace_embedded but from pre-embedded E: f32[B,2N,2N]
     (e.g. the fused covariance kernel's output)."""
-    return jnp.swapaxes(
-        signal_subspace_from_E_T(E, num_sources, iters=iters,
-                                 ns_iters=ns_iters, squarings=squarings,
-                                 escalate_extra=escalate_extra,
-                                 escalate_gap=escalate_gap,
-                                 escalate_tol=escalate_tol,
-                                 escalate_signal_floor=(
-                                     escalate_signal_floor),
-                                 escalate_capacity=escalate_capacity),
-        -1, -2)
+    out = signal_subspace_from_E_T(E, num_sources, iters=iters,
+                                   ns_iters=ns_iters,
+                                   squarings=squarings,
+                                   escalate_extra=escalate_extra,
+                                   escalate_gap=escalate_gap,
+                                   escalate_tol=escalate_tol,
+                                   escalate_signal_floor=(
+                                       escalate_signal_floor),
+                                   escalate_capacity=escalate_capacity,
+                                   return_stats=return_stats)
+    if return_stats:
+        return jnp.swapaxes(out[0], -1, -2), out[1]
+    return jnp.swapaxes(out, -1, -2)
 
 
 def _mgs_rows(Vt, passes: int = 1):
@@ -343,7 +349,8 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
                       escalate_gap: float = 3.0,
                       escalate_tol: float = 0.05,
                       escalate_signal_floor: float = 2.5,
-                      escalate_capacity: int = 1024):
+                      escalate_capacity: int = 1024,
+                      return_stats: bool = False):
     """MGS-orthonormalized subspace iteration (the r2-s4 measured
     winner): 5.8 ms vs 20.7 (NS e1@8) / 9.6 (NS e4@8) at the headline
     shape, AND robust — planted-spectrum bad-rate 0 through eigenvalue
@@ -415,6 +422,9 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
         Vt_prev = Vt
         Vt = _mgs_rows(W, passes=2 if r == rounds - 2 else 1)
     if escalate_extra <= 0 or squarings > 0:
+        if return_stats:            # detector disarmed: counts are zero
+            z = jnp.zeros((), jnp.int32)
+            return Vt, (z, z)
         return Vt
     if W is None:                   # iters ≤ 1 edge: one detector apply
         Vt_prev = Vt
@@ -427,11 +437,21 @@ def _subspace_E_T_mgs(E, num_sources: int, iters: int, squarings: int,
     bad, score = escalation_flags(gamma, gamma_max, res,
                                   escalate_gap, escalate_tol,
                                   escalate_signal_floor)
-    return jax.lax.cond(
+    Vt = jax.lax.cond(
         jnp.any(bad),
         lambda v: escalate_flagged(Ep, v, bad, score, escalate_extra,
                                    escalate_capacity),
         lambda v: v, Vt)
+    if return_stats:
+        # Observability (VERDICT r4 weak #3): how many windows the
+        # safety net fired on this call, and how many flagged windows
+        # exceeded escalate_capacity and stayed UNESCALATED — an
+        # operator at threshold SNR reads saturation from overflow > 0.
+        flagged = jnp.sum(bad).astype(jnp.int32)
+        cap = jnp.int32(min(Vt.shape[0], max(1, escalate_capacity)))
+        overflow = jnp.maximum(flagged - cap, 0)
+        return Vt, (flagged, overflow)
+    return Vt
 
 
 def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
@@ -442,7 +462,8 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
                              escalate_gap: float = 3.0,
                              escalate_tol: float = 0.05,
                              escalate_signal_floor: float = 2.5,
-                             escalate_capacity: int = 1024):
+                             escalate_capacity: int = 1024,
+                             return_stats: bool = False):
     """Embedded signal subspace in TRANSPOSED layout: Vt f32[B, 2K, 2N]
     with Vt·Vtᵀ = I — the production fast form.
 
@@ -503,11 +524,14 @@ def signal_subspace_from_E_T(E, num_sources: int, iters: int = 8,
                                  escalate_tol=escalate_tol,
                                  escalate_signal_floor=(
                                      escalate_signal_floor),
-                                 escalate_capacity=escalate_capacity)
+                                 escalate_capacity=escalate_capacity,
+                                 return_stats=return_stats)
     if init is not None:
         raise ValueError("warm-start init requires orth='mgs'")
     if escalate_extra > 0:
         raise ValueError("escalation requires orth='mgs'")
+    if return_stats:
+        raise ValueError("escalation stats require orth='mgs'")
     K2 = 2 * num_sources
     PACK = pack
 

@@ -139,10 +139,18 @@ def find_local_max_2d_pallas(P, k: int, az_rng, el_rng,
                              refine: bool = False, block_b: int = 8,
                              interpret: bool = False):
     """P: f32[B, Ga, Ge] → (values, az, el) each f32[B, k]; exact
-    parity with ops.peaks.find_local_max_2d (k ≤ 4). block_b = windows
-    per program (sublane-aligned; hardware sweep at the c5 shape:
-    8 → 5.64 ms, 16 → 5.73, 32 → 5.46, 64 → Mosaic compile failure —
-    flat within ~3%, so the default stays at the safe 8)."""
+    parity with ops.peaks.find_local_max_2d (k ≤ 4).
+
+    Contract: P must be a POSITIVE pseudospectrum (as with
+    find_local_max's refine mode — the reciprocal-space refinement
+    assumes it, and the kernel's finite no-peak sentinel (−1e30, vs
+    XLA's −inf) additionally means parity is only guaranteed for
+    spectra with values > −5e29; every pseudospectrum satisfies both).
+
+    block_b = windows per program (sublane-aligned; hardware sweep at
+    the c5 shape: 8 → 5.64 ms, 16 → 5.73, 32 → 5.46, 64 → Mosaic
+    compile failure — flat within ~3%, so the default stays at the
+    safe 8)."""
     if k > 4:
         raise ValueError("fused 2-D peak kernel supports k <= 4")
     B, Ga, Ge = P.shape

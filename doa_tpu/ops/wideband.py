@@ -98,11 +98,14 @@ def subband_subspaces(R: Cpx, cfg: DoaConfig):
     if cfg.subspace_warm_start and R.re.shape[1] >= 32:
         from doa_tpu.cpx import embed_hermitian
         return subband_subspaces_from_E(embed_hermitian(R), cfg)
+    # subband windows hold S/F samples — the escalation floor scales to
+    # that operating point's Wishart noise-bulk edge (escalate_kwargs_for)
+    esc = cfg.escalate_kwargs_for(
+        cfg.snapshot_size // cfg.wideband.num_subbands)
     return jax.vmap(lambda r: cpx_ops.signal_subspace_embedded(
         r, cfg.num_sources, iters=cfg.power_iters,
         squarings=cfg.power_squarings,
-        **(cfg.escalate_kwargs
-           if cfg.power_squarings == 0 else {})))(R)
+        **(esc if cfg.power_squarings == 0 else {})))(R)
 
 
 def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
@@ -118,11 +121,13 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
     power_iters to power_iters_warm."""
     F, B, n2, _ = E_sub.shape
     K2 = 2 * cfg.num_sources
+    esc = cfg.escalate_kwargs_for(
+        cfg.snapshot_size // cfg.wideband.num_subbands, n2=n2)
     if cfg.subspace_warm_start and B >= 32:
         Vt_bar = cpx_ops.signal_subspace_from_E_T(
             jnp.mean(E_sub, axis=1), cfg.num_sources,
             iters=max(cfg.power_iters, 8),
-            **cfg.escalate_kwargs)                   # (F, 2K, 2N)
+            **esc)                                   # (F, 2K, 2N)
         # (The r3 fused warm-refine Pallas kernel was removed in r4:
         # it cannot compile at this path's design shape 2N=128 on this
         # Mosaic toolchain, and the einsum refinement below measures
@@ -133,7 +138,7 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
         Vt = cpx_ops.signal_subspace_from_E_T(
             E_sub.reshape(F * B, n2, n2), cfg.num_sources,
             iters=cfg.power_iters_warm, init=init,
-            **cfg.escalate_kwargs)
+            **esc)
         return jnp.swapaxes(Vt, -1, -2).reshape(F, B, n2, K2)
     V = cpx_ops.signal_subspace_from_E(
         E_sub.reshape(F * B, n2, n2), cfg.num_sources,

@@ -119,6 +119,126 @@ def _local_peaks_merge_1d(P_loc, num_max_vals: int, x_rng, refine: bool):
     return v / gmax, l, gmax
 
 
+def _local_peaks_merge_2d(P_loc, num_max_vals: int, g2, refine: bool):
+    """O(k) tensor-parallel 2-D peak extraction (VERDICT r4 missing
+    #4): the az-major flattened grid is sharded in whole-az-row blocks
+    (requires n_grid | num_az), so 2-D peak neighborhoods cross shard
+    boundaries only along az — ONE az-row halo from each grid neighbor
+    (comm (B, Ge) per call, independent of G — vs the (B, G) spectrum
+    all_gather this replaces: 135 MB/call at the c5 shape) makes every
+    local bin's 4-neighbor test exact. Local top-k candidates +
+    per-device row maxima merge exactly like the 1-D version; az
+    refinement reads the halo rows, el refinement is shard-local.
+
+    P_loc: f32[B, Ga_loc·Ge] (local az-row block, flattened az-major)
+    → (values/gmax (B, k), angles (B, k, 2) az/el, gmax (B, 1))."""
+    from doa_tpu.ops.peaks import _topk_lastaxis
+
+    k = num_max_vals
+    n = jax.lax.axis_size(GRID_AXIS)
+    me = jax.lax.axis_index(GRID_AXIS)
+    B, Gl = P_loc.shape
+    Ge = g2.num_el
+    Ga = g2.num_az
+    Ga_loc = Gl // Ge
+    P3 = P_loc.reshape(B, Ga_loc, Ge)
+    inf = jnp.float32(jnp.inf)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    if n == 1:
+        up = jnp.full((B, 1, Ge), inf, P3.dtype)
+        dn = up
+    else:
+        up = jax.lax.ppermute(                    # my top halo = left
+            P3[:, -1:, :], GRID_AXIS,             # nbr's last az row
+            [(i, i + 1) for i in range(n - 1)])
+        dn = jax.lax.ppermute(
+            P3[:, :1, :], GRID_AXIS,
+            [(i + 1, i) for i in range(n - 1)])
+        up = jnp.where(me == 0, inf, up)          # global az edges are
+        dn = jnp.where(me == n - 1, inf, dn)      # never peaks (P > inf
+    Pe = jnp.concatenate([up, P3, dn], axis=1)    # is False)
+
+    mid = P3[:, :, 1:-1]
+    core = ((mid > Pe[:, :-2, 1:-1]) & (mid >= Pe[:, 2:, 1:-1])
+            & (mid > P3[:, :, :-2]) & (mid >= P3[:, :, 2:]))
+    is_max = jnp.zeros_like(P3, dtype=bool)
+    is_max = is_max.at[:, :, 1:-1].set(core)
+    masked = jnp.where(is_max, P3, neg_inf).reshape(B, Gl)
+    vals, idx = _topk_lastaxis(masked, k)         # local flat coords
+    ra = idx // Ge
+    ce = idx - ra * Ge
+
+    if refine:
+        # separable reciprocal-space parabolas; the az profile's ±1
+        # rows come from the extended block (halo rows included)
+        tiny = jnp.finfo(P3.dtype).tiny
+        q = lambda v: 1.0 / jnp.maximum(v, tiny)  # noqa: E731
+        flat_e = Pe.reshape(B, (Ga_loc + 2) * Ge)
+        pick_e = lambda r, c: jnp.take_along_axis(  # noqa: E731
+            flat_e, r * Ge + c, axis=-1)
+        q0 = q(pick_e(ra + 1, ce))
+        qm = q(pick_e(ra, ce))
+        qp = q(pick_e(ra + 2, ce))
+        dd = qm - 2.0 * q0 + qp
+        da_ = jnp.where(jnp.abs(dd) > 0, 0.5 * (qm - qp) / dd, 0.0)
+        ga = me * Ga_loc + ra                     # global az row
+        da_ = jnp.where((ga > 0) & (ga < Ga - 1),
+                        jnp.clip(da_, -0.5, 0.5), 0.0)
+        flat_l = P3.reshape(B, Gl)
+        pick_l = lambda r, c: jnp.take_along_axis(  # noqa: E731
+            flat_l, r * Ge + c, axis=-1)
+        qm = q(pick_l(ra, jnp.maximum(ce - 1, 0)))
+        qp = q(pick_l(ra, jnp.minimum(ce + 1, Ge - 1)))
+        dd = qm - 2.0 * q0 + qp
+        de_ = jnp.where(jnp.abs(dd) > 0, 0.5 * (qm - qp) / dd, 0.0)
+        de_ = jnp.where((ce > 0) & (ce < Ge - 1),
+                        jnp.clip(de_, -0.5, 0.5), 0.0)
+        fa = (me * Ga_loc + ra).astype(P3.dtype) + da_
+        fe = ce.astype(P3.dtype) + de_
+    else:
+        fa = (me * Ga_loc + ra).astype(P3.dtype)
+        fe = ce.astype(P3.dtype)
+    daz = (g2.az_hi_deg - g2.az_lo_deg) / (Ga - 1)
+    dele = (g2.el_hi_deg - g2.el_lo_deg) / (Ge - 1)
+    az = g2.az_lo_deg + fa * daz
+    el = g2.el_lo_deg + fe * dele
+
+    # per-device row max (value + refined-free location) for the
+    # global normalization and the no-peak fallback
+    flat = P_loc
+    rmax_i = jnp.argmax(flat, axis=-1, keepdims=True)
+    rmax_v = jnp.take_along_axis(flat, rmax_i, axis=-1)   # (B, 1)
+    r_ra = rmax_i // Ge
+    r_ce = rmax_i - r_ra * Ge
+    rmax_az = g2.az_lo_deg + (me * Ga_loc + r_ra).astype(
+        P3.dtype) * daz
+    rmax_el = g2.el_lo_deg + r_ce.astype(P3.dtype) * dele
+
+    # O(k) exchange: k candidates + the row max per device
+    cat = lambda t: jax.lax.all_gather(  # noqa: E731
+        t, GRID_AXIS, axis=1, tiled=True)
+    all_v, all_az, all_el = cat(vals), cat(az), cat(el)
+    all_rv, all_raz, all_rel = cat(rmax_v), cat(rmax_az), cat(rmax_el)
+
+    mv, mpos = _topk_lastaxis(all_v, k)
+    maz = jnp.take_along_axis(all_az, mpos, axis=-1)
+    mel = jnp.take_along_axis(all_el, mpos, axis=-1)
+    gpos = jnp.argmax(all_rv, axis=-1, keepdims=True)
+    gmax = jnp.take_along_axis(all_rv, gpos, axis=-1)     # (B, 1)
+    gaz = jnp.take_along_axis(all_raz, gpos, axis=-1)
+    gel = jnp.take_along_axis(all_rel, gpos, axis=-1)
+    have_any = jnp.isfinite(mv[:, 0:1])
+    best_v = jnp.where(have_any, mv[:, 0:1], gmax)
+    best_az = jnp.where(have_any, maz[:, 0:1], gaz)
+    best_el = jnp.where(have_any, mel[:, 0:1], gel)
+    valid = jnp.isfinite(mv)
+    v = jnp.where(valid, mv, best_v)
+    az_o = jnp.where(valid, maz, best_az)
+    el_o = jnp.where(valid, mel, best_el)
+    return (v / gmax, jnp.stack([az_o, el_o], axis=-1), gmax)
+
+
 def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                            refine_peaks: bool = True):
     """→ callable(x: complex (T, N) | Cpx, correction) → dict of sharded
@@ -157,6 +277,26 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
         raise ValueError(f"grid size {G} not divisible by n_grid {n_grid}")
     use_power = cfg.subspace_method == "power"
     is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+    # 2-D O(k) merge needs whole az rows per grid shard (n_grid | num_az)
+    use_2d_merge = (is_2d and n_grid > 0
+                    and (G // n_grid) % cfg.grid2d.num_el == 0)
+    # Fused narrowband fast path (VERDICT r4 missing #1): the same
+    # composition as the single-chip fused pipeline, per device —
+    # interleaved ingest (the halo exchange runs on interleaved rows),
+    # the Pallas embedded-covariance kernel, warm-start subspaces from
+    # the psum'd GLOBAL capture mean, and the fused Pallas scan feeding
+    # the O(k) peak merge. Per-chip work under DP/TP then matches the
+    # fused single-chip program instead of the ~3× slower XLA
+    # composition (docs/PERF.md).
+    import math as _math
+    from doa_tpu.ops.pallas.cov_embedded import interleave_factor
+    from doa_tpu.pipeline_tpu import _resolve_impl
+    N_el = cfg.geometry.num_elements
+    cov_impl, interp = _resolve_impl(cfg)
+    tp = interleave_factor(N_el)
+    fast = (cov_impl == "pallas" and use_power and not bs
+            and not cfg.smoothing.enabled
+            and _math.gcd(S, hop) % tp == 0)
 
     def _peaks(P_full):
         """Peaks on the gathered spectrum row: 1-D angles or (az, el)."""
@@ -172,6 +312,28 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             return v, jnp.stack([az, el], axis=-1)
         return find_local_max(P_full, cfg.num_max_vals, x_rng[0],
                               x_rng[1], refine=refine_peaks)
+
+    def _merge_peaks(out, est, P_loc):
+        """Shared peak extraction + merge: 1-D → O(k) column-halo
+        merge; 2-D → O(k) az-row-halo merge when shard boundaries
+        align with az rows, full-spectrum gather otherwise. The
+        spectrum output stays GRID-sharded on the merge paths."""
+        if is_2d and use_2d_merge:
+            v, l, gmax = _local_peaks_merge_2d(
+                P_loc, cfg.num_max_vals, cfg.grid2d, refine_peaks)
+            out[f"spectrum_{est.value}"] = P_loc / gmax
+        elif is_2d:
+            P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
+                                        tiled=True)
+            P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
+            v, l = _peaks(P_full)
+            out[f"spectrum_{est.value}"] = P_full
+        else:
+            v, l, gmax = _local_peaks_merge_1d(
+                P_loc, cfg.num_max_vals, x_rng, refine_peaks)
+            out[f"spectrum_{est.value}"] = P_loc / gmax
+        out[f"peak_values_{est.value}"] = v
+        out[f"peak_angles_{est.value}"] = l
 
     def shard_fn(xr, xi, cr, ci, Ar, Ai):
         from doa_tpu.ops.pallas.ring import halo_exchange
@@ -244,23 +406,10 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                     R, A, normalize=False)
             else:
                 continue  # grid-free; handled after the scan loop
-            if is_2d:
-                # 2-D az/el neighborhoods span grid shards: gather the
-                # full spectrum row (the O(k) path below is 1-D only).
-                P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
-                                            tiled=True)
-                P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
-                v, l = _peaks(P_full)
-                out[f"spectrum_{est.value}"] = P_full
-            else:
-                # O(k) TP: local peaks + candidate merge; comm volume is
-                # independent of G (VERDICT r1 item 5). The spectrum
-                # output stays GRID-sharded — no gather anywhere.
-                v, l, gmax = _local_peaks_merge_1d(
-                    P_loc, cfg.num_max_vals, x_rng, refine_peaks)
-                out[f"spectrum_{est.value}"] = P_loc / gmax
-            out[f"peak_values_{est.value}"] = v
-            out[f"peak_angles_{est.value}"] = l
+            # O(k) TP: local peaks + candidate merge (1-D columns or
+            # 2-D az rows); comm volume is independent of G (VERDICT
+            # r1 item 5; r4 missing #4 for 2-D).
+            _merge_peaks(out, est, P_loc)
         if (Estimator.ROOT_MUSIC in cfg.estimators
                 and cfg.geometry.kind == "ula"):
             from doa_tpu.ops.root_music import root_music_cpx
@@ -284,12 +433,138 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                 R, cfg.num_sources, cfg.geometry.norm_spacing)
         return out
 
+    def _gridfree(out, R, V_emb):
+        if (Estimator.ROOT_MUSIC in cfg.estimators
+                and cfg.geometry.kind == "ula"):
+            from doa_tpu.ops.root_music import root_music_cpx
+
+            nproj = (cpx_ops.noise_projector_from_signal(V_emb)
+                     if V_emb is not None else None)
+            out["root_music_angles"] = root_music_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing,
+                noise_proj=nproj)
+        if (Estimator.ESPRIT in cfg.estimators
+                and cfg.geometry.kind == "ula"):
+            from doa_tpu.ops.esprit import esprit_cpx
+
+            out["esprit_angles"] = esprit_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
+        if (Estimator.UNITARY_ESPRIT in cfg.estimators
+                and cfg.geometry.kind == "ula"):
+            from doa_tpu.ops.esprit import unitary_esprit_cpx
+
+            out["unitary_esprit_angles"] = unitary_esprit_cpx(
+                R, cfg.num_sources, cfg.geometry.norm_spacing)
+
+    def shard_fn_fast(xil, cr, ci, Ar, Ai):
+        """The fused single-chip composition per device (VERDICT r4
+        missing #1): interleaved rows in, halo on rows, Pallas
+        embedded-covariance kernel (correction + FB in-kernel), warm
+        subspaces from the psum'd global capture mean, fused Pallas
+        MUSIC scan into the O(k) merge."""
+        from doa_tpu.cpx import embed_vector, unembed_hermitian
+        from doa_tpu.ops.pallas.cov_embedded import cov_embedded_pallas
+        from doa_tpu.ops.pallas.music_scan import music_scan_from_packed
+        from doa_tpu.ops.pallas.ring import halo_exchange
+        from doa_tpu.ops.pallas.subspace import packing_width
+
+        n_snap = mesh.shape[SNAP_AXIS]
+        x_ext = halo_exchange(xil, overlap // tp, SNAP_AXIS,
+                              impl=cfg.halo_impl)
+        E_win = cov_embedded_pallas(
+            x_ext, cr, ci, N=N_el, snapshot_size=S, overlap=overlap,
+            fb=fb, compute_dtype=jnp.dtype(cfg.cov_dtype),
+            interpret=interp)                     # (B_loc, 2N, 2N)
+        B_loc, n2 = E_win.shape[0], E_win.shape[-1]
+        K = cfg.num_sources
+        k2 = 2 * K
+        T = xil.shape[0] * tp * n_snap
+        B_valid = 0 if T < S else (T - S) // hop + 1
+        n_invalid = B_loc * n_snap - B_valid
+        me_s = jax.lax.axis_index(SNAP_AXIS)
+        if n_invalid:
+            # zero the last shard's tail windows (their halo wrapped
+            # past the capture end) for the SUBSPACE stage: zero E is
+            # source-free to the escalation detector (no spurious
+            # flags/capacity use) and keeps the global capture mean
+            # equal to the single-chip pipeline's over-valid-windows
+            # mean. Their peak outputs are garbage either way — callers
+            # slice to num_valid_windows.
+            iota_b = jnp.arange(B_loc)
+            mask = ((me_s < n_snap - 1)
+                    | (iota_b < B_loc - n_invalid)).astype(jnp.float32)
+            E_sub_in = E_win * mask[:, None, None]
+        else:
+            mask = jnp.ones((B_loc,), jnp.float32)
+            E_sub_in = E_win
+        kw = cfg.escalate_kwargs
+        warm = cfg.subspace_warm_start and B_valid >= 32
+        if warm:
+            Esum = jnp.einsum("b,bij->ij", mask, E_win,
+                              preferred_element_type=jnp.float32)
+            Ebar = jax.lax.psum(Esum, SNAP_AXIS) / B_valid
+            Vt_bar = cpx_ops.signal_subspace_from_E_T(
+                Ebar[None], K, iters=max(cfg.power_iters, 8), **kw)
+            init = jnp.broadcast_to(Vt_bar,
+                                    (B_loc,) + Vt_bar.shape[1:])
+            Vt, esc = cpx_ops.signal_subspace_from_E_T(
+                E_sub_in, K, iters=cfg.power_iters_warm, init=init,
+                return_stats=True, **kw)
+        else:
+            Vt, esc = cpx_ops.signal_subspace_from_E_T(
+                E_sub_in, K, iters=cfg.power_iters,
+                squarings=cfg.power_squarings, return_stats=True,
+                **(kw if cfg.power_squarings == 0 else {}))
+        A = Cpx(Ar, Ai)
+        need_R = any(e in (Estimator.CAPON, Estimator.BARTLETT,
+                           Estimator.ROOT_MUSIC, Estimator.ESPRIT,
+                           Estimator.UNITARY_ESPRIT)
+                     for e in cfg.estimators)
+        R = unembed_hermitian(E_win) if need_R else None
+        V_emb = jnp.swapaxes(Vt, -1, -2)
+        out = {}
+        for est in cfg.estimators:
+            if est == Estimator.MUSIC:
+                W_pack = packing_width(n2, K)
+                Bp = -(-B_loc // W_pack) * W_pack
+                Vp_flat = Vt.reshape(B_loc * k2, n2)
+                if Bp != B_loc:
+                    Vp_flat = jnp.concatenate(
+                        [Vp_flat,
+                         jnp.zeros(((Bp - B_loc) * k2, n2),
+                                   Vp_flat.dtype)], axis=0)
+                Vp = Vp_flat.reshape(-1, W_pack * k2, n2)
+                P_loc = music_scan_from_packed(
+                    Vp, k2, embed_vector(A), interpret=interp)[:B_loc]
+            elif est == Estimator.MIN_NORM:
+                from doa_tpu.ops.min_norm import (
+                    min_norm_denominator_subspace)
+                den = min_norm_denominator_subspace(
+                    V_emb, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
+                P_loc = 1.0 / jnp.maximum(den,
+                                          jnp.finfo(jnp.float32).tiny)
+            elif est == Estimator.CAPON:
+                P_loc = cpx_ops.capon_spectrum_cpx(
+                    R, A, diag_load=cfg.capon_diag_load,
+                    normalize=False)
+            elif est == Estimator.BARTLETT:
+                P_loc = cpx_ops.bartlett_spectrum_cpx(
+                    R, A, normalize=False)
+            else:
+                continue  # grid-free; handled below
+            _merge_peaks(out, est, P_loc)
+        _gridfree(out, R, V_emb)
+        out["escalation_flagged"] = jax.lax.psum(esc[0], SNAP_AXIS)
+        out["escalation_overflow"] = jax.lax.psum(esc[1], SNAP_AXIS)
+        return out
+
+    spec_sharded = P(SNAP_AXIS, None) if (is_2d and not use_2d_merge) \
+        else P(SNAP_AXIS, GRID_AXIS)
     out_specs = {}
     for est in cfg.estimators:
         if est in (Estimator.MUSIC, Estimator.CAPON,
                    Estimator.MIN_NORM, Estimator.BARTLETT):
-            out_specs[f"spectrum_{est.value}"] = (
-                P(SNAP_AXIS, None) if is_2d else P(SNAP_AXIS, GRID_AXIS))
+            out_specs[f"spectrum_{est.value}"] = spec_sharded
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_angles_{est.value}"] = P(SNAP_AXIS, None)
     if (Estimator.ROOT_MUSIC in cfg.estimators
@@ -302,14 +577,26 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
             and cfg.geometry.kind == "ula"):
         out_specs["unitary_esprit_angles"] = P(SNAP_AXIS, None)
 
-    mapped = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
-                  P(GRID_AXIS, None), P(GRID_AXIS, None)),
-        out_specs=out_specs,
-        check_vma=False,
-    )
+    if fast:
+        out_specs["escalation_flagged"] = P()
+        out_specs["escalation_overflow"] = P()
+        mapped = jax.shard_map(
+            shard_fn_fast,
+            mesh=mesh,
+            in_specs=(P(SNAP_AXIS, None), P(), P(),
+                      P(GRID_AXIS, None), P(GRID_AXIS, None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    else:
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
+                      P(GRID_AXIS, None), P(GRID_AXIS, None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
     jitted = jax.jit(f32_matmuls(mapped))
 
     A_sh = NamedSharding(mesh, P(GRID_AXIS, None))
@@ -318,8 +605,34 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     Ai_d = jax.device_put(
         np.ascontiguousarray(A_host.imag.astype(np.float32)), A_sh)
 
+    def _corr_planes(N, correction):
+        if correction is None:
+            return (jnp.ones((N,), jnp.float32),
+                    jnp.zeros((N,), jnp.float32))
+        if isinstance(correction, Cpx):
+            return correction.re, correction.im
+        c = np.asarray(correction)
+        return (jnp.asarray(c.real.astype(np.float32)),
+                jnp.asarray(c.imag.astype(np.float32)))
+
     def call(x, correction=None):
         n_snap = mesh.shape[SNAP_AXIS]
+        if fast:
+            # interleaved ingest: a C-ordered c64 capture IS the layout
+            if isinstance(x, Cpx):
+                x = (np.asarray(x.re)
+                     + 1j * np.asarray(x.im)).astype(np.complex64)
+            x = np.ascontiguousarray(np.asarray(x, dtype=np.complex64))
+            T, N = x.shape
+            if T % (n_snap * hop):
+                raise ValueError(
+                    f"T={T} must be divisible by n_snap*hop="
+                    f"{n_snap * hop}")
+            xil_h = x.view(np.float32).reshape(T // tp, 2 * N * tp)
+            xil = jax.device_put(
+                xil_h, NamedSharding(mesh, P(SNAP_AXIS, None)))
+            cr, ci = _corr_planes(N, correction)
+            return jitted(xil, cr, ci, Ar_d, Ai_d)
         if isinstance(x, Cpx):
             xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
         else:
@@ -332,18 +645,12 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
         x_sh = NamedSharding(mesh, P(SNAP_AXIS, None))
         xr = jax.device_put(xr_h, x_sh)
         xi = jax.device_put(xi_h, x_sh)
-        N = xr_h.shape[1]
-        if correction is None:
-            cr = jnp.ones((N,), jnp.float32)
-            ci = jnp.zeros((N,), jnp.float32)
-        else:
-            c = np.asarray(correction)
-            cr = jnp.asarray(c.real.astype(np.float32))
-            ci = jnp.asarray(c.imag.astype(np.float32))
+        cr, ci = _corr_planes(xr_h.shape[1], correction)
         return jitted(xr, xi, cr, ci, Ar_d, Ai_d)
 
     call.jitted = jitted
     call.mesh = mesh
+    call.fast = fast
     return call
 
 
@@ -613,6 +920,7 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
     if G % n_ep:
         raise ValueError(f"grid size {G} not divisible by TP axis {n_ep}")
     is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+    use_2d_merge = (is_2d and (G // n_ep) % cfg.grid2d.num_el == 0)
     fb = cfg.avg_method == AvgMethod.FORWARD_BACKWARD
     auto = cfg.wideband.fusion == "cssm_auto"
     W_host = dft_matrix(F)
@@ -701,6 +1009,11 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
             den = cpx_ops.music_denominator_cpx(
                 Mp, A, compute_dtype=jnp.dtype(cfg.compute_dtype))
         P_loc = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        if is_2d and use_2d_merge:
+            v, l, gmax = _local_peaks_merge_2d(
+                P_loc, cfg.num_max_vals, cfg.grid2d, refine_peaks)
+            return {"spectrum_music": P_loc / gmax,
+                    "peak_values_music": v, "peak_angles_music": l}
         if is_2d:
             P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
                                         tiled=True)
@@ -722,7 +1035,8 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
                 "peak_angles_music": l}
 
     out_specs = {
-        "spectrum_music": (P(SNAP_AXIS, None) if is_2d
+        "spectrum_music": (P(SNAP_AXIS, None)
+                           if (is_2d and not use_2d_merge)
                            else P(SNAP_AXIS, GRID_AXIS)),
         "peak_values_music": P(SNAP_AXIS, None),
         "peak_angles_music": P(SNAP_AXIS, None)}

@@ -45,6 +45,12 @@ class DoaResult:
     unitary_esprit_angles: Optional[jax.Array] = None  # f32[B, K] deg
     covariance: Optional[jax.Array] = None         # c64[B, N', N']
     subspace_residual: Optional[jax.Array] = None  # f32[B] (guard mode)
+    # Escalation observability (power path, detector armed): windows
+    # the safety net fired on this call, and flagged windows beyond
+    # subspace_escalate_capacity that stayed UNESCALATED (overflow > 0
+    # at threshold SNR means raise the capacity).
+    escalation_flagged: Optional[jax.Array] = None   # int32 scalar
+    escalation_overflow: Optional[jax.Array] = None  # int32 scalar
 
 
 def _steering_fn(cfg: DoaConfig):

@@ -124,10 +124,16 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         if is_2d:
             g2 = cfg.grid2d
             P2 = P.reshape(P.shape[0], g2.num_az, g2.num_el)
-            if cov_impl == "pallas" and cfg.num_max_vals <= 4:
+            use_p2d = (cfg.peaks_impl == "pallas"
+                       or (cfg.peaks_impl == "auto"
+                           and cov_impl == "pallas"))
+            if use_p2d and cfg.num_max_vals <= 4:
                 # Fused 2-D peaks kernel: one pass over the spectrum
                 # instead of XLA's mask/flatten/argmax/gather chain
                 # (6.6 → ~1 ms at the c5 shape — docs/PERF.md).
+                # peaks_impl="xla" opts out of just this kernel (it is
+                # shape-sensitive on some Mosaic toolchains) without
+                # abandoning the fused covariance/scan path.
                 from doa_tpu.ops.pallas.peaks2d import (
                     find_local_max_2d_pallas)
                 v, az, el = find_local_max_2d_pallas(
@@ -185,11 +191,15 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         scan_mode = "pallas" if (fast_cov and not bs) else "dense"
 
     def _subspace_packed(E_win):
+        """→ (Vp packed f32[nb, W·2K, 2N], escalation stats (flagged,
+        overflow) int32 scalars — zeros when the detector is disarmed
+        or on the Pallas cold-kernel impl)."""
         from doa_tpu.ops.pallas.subspace import (
             packing_width, subspace_packed_pallas)
         n2 = E_win.shape[-1]
         k2 = 2 * cfg.num_sources
         W = packing_width(n2, cfg.num_sources)
+        esc_stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         if cfg.subspace_impl in ("auto", "xla"):
             # Transposed-layout XLA iteration: Vt.reshape IS the packed
             # layout (leading-dim merges only — no relayout pass).
@@ -213,14 +223,14 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                     **cfg.escalate_kwargs)
                 init = jnp.broadcast_to(
                     Vt_bar, (E_win.shape[0],) + Vt_bar.shape[1:])
-                Vt = cpx_ops.signal_subspace_from_E_T(
+                Vt, esc_stats = cpx_ops.signal_subspace_from_E_T(
                     E_win, cfg.num_sources,
                     iters=cfg.power_iters_warm, init=init,
-                    **cfg.escalate_kwargs)
+                    return_stats=True, **cfg.escalate_kwargs)
             else:
-                Vt = cpx_ops.signal_subspace_from_E_T(
+                Vt, esc_stats = cpx_ops.signal_subspace_from_E_T(
                     E_win, cfg.num_sources, iters=cfg.power_iters,
-                    squarings=cfg.power_squarings,
+                    squarings=cfg.power_squarings, return_stats=True,
                     **(cfg.escalate_kwargs
                        if cfg.power_squarings == 0 else {}))
             B = E_win.shape[0]
@@ -236,7 +246,7 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             Vp_flat = subspace_packed_pallas(
                 E_win, cfg.num_sources, iters=cfg.power_iters,
                 squarings=cfg.power_squarings, interpret=interp)
-        return Vp_flat.reshape(-1, W * k2, n2)
+        return Vp_flat.reshape(-1, W * k2, n2), esc_stats
 
     def _estimate(R, E_win, Ar, Ai):
         """Everything downstream of the covariance stage. Exactly one of
@@ -273,12 +283,13 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         Vp = None
         B_out = (E_win if R is None else R.re).shape[0]
         sub_res = None
+        esc_stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         want_mn = Estimator.MIN_NORM in cfg.estimators
         if (use_power
                 and (Estimator.MUSIC in cfg.estimators or want_root
                      or want_mn)):
             if E_win is not None:
-                Vp = _subspace_packed(E_win)
+                Vp, esc_stats = _subspace_packed(E_win)
                 if (scan_mode != "pallas" or want_root or want_mn
                         or cfg.subspace_check):
                     from doa_tpu.ops.pallas.subspace import (
@@ -287,9 +298,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                         Vp.reshape(-1, E_win.shape[-1]), B_out,
                         cfg.num_sources)
             else:
-                V_emb = cpx_ops.signal_subspace_embedded(
+                V_emb, esc_stats = cpx_ops.signal_subspace_embedded(
                     R, cfg.num_sources, iters=cfg.power_iters,
-                    squarings=cfg.power_squarings,
+                    squarings=cfg.power_squarings, return_stats=True,
                     **(cfg.escalate_kwargs
                        if cfg.power_squarings == 0 else {}))
             if cfg.subspace_check:
@@ -460,6 +471,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             unitary_esprit_angles=unitary_angles,
             covariance=((R.re, R.im) if return_covariance else None),
             subspace_residual=sub_res,
+            escalation_flagged=esc_stats[0],
+            escalation_overflow=esc_stats[1],
         )
 
     def _fast_cov(xil, cr, ci):

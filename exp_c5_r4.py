@@ -3,9 +3,11 @@
 Stages (arg = stage name; default "all"):
   base   — c5 default pipeline (wb_fast + warm XLA subspaces) after the
            r4 Ep-materialization skip; + bf16 subband-scan variant
-  fused  — subspace_impl='fused' (warm_refine kernel) at its DESIGN
-           shape (2N=128: one full MXU tile per window) vs the XLA
-           warm path; standalone stage timings for attribution
+  fused  — standalone XLA warm-refinement stage at the c5 subspace
+           shape (the r3 warm_refine Pallas kernel this stage once
+           compared against was REMOVED in r4 — it failed to compile
+           at 2N=128 on this Mosaic toolchain; DoaConfig now rejects
+           subspace_impl='fused'. See docs/PERF.md post-mortem.)
   hier   — hierarchical wideband scan with the r4 chunked refinement:
            full-grid coarse (regression vs r3's 278.5 ms) and a 3°
            coarse grid (61×31) + refine, angle parity vs dense

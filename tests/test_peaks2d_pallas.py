@@ -71,3 +71,38 @@ def test_pipeline_c5_shape_parity():
     P /= P.max(axis=(1, 2), keepdims=True)
     _check(P, 2, True)
     _check(P, 1, False)
+
+
+def test_peaks_impl_knob_pipeline():
+    """ADVICE r4: peaks_impl decouples the 2-D peaks kernel from
+    cov_impl — 'xla' keeps the fused covariance path but opts out of
+    peaks2d, producing identical peaks; 'pallas' forces the kernel."""
+    import dataclasses
+
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec2D)
+    from doa_tpu.io import SourceSpec, synth_ura_iq
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ura", num_elements=16,
+                               norm_spacing=0.5, shape=(4, 4)),
+        snapshot_size=128, num_sources=1,
+        estimators=(Estimator.MUSIC,),
+        grid2d=GridSpec2D(num_az=25, num_el=13),
+        num_max_vals=1, cov_impl="pallas")
+    x = synth_ura_iq(
+        [SourceSpec(az_deg=-20.0, el_deg=30.0, freq_norm=0.1)],
+        (4, 4), 0.5, 64 * 128, snr_db=10, seed=5).astype(np.complex64)
+    outs = {}
+    for impl in ("auto", "xla", "pallas"):
+        res = build_pipeline_tpu(
+            dataclasses.replace(cfg, peaks_impl=impl),
+            return_spectra=False)(x)
+        outs[impl] = (np.asarray(res.peak_values["music"]),
+                      np.asarray(res.peak_angles["music"]))
+    for impl in ("xla", "pallas"):
+        np.testing.assert_allclose(outs[impl][0], outs["auto"][0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(outs[impl][1], outs["auto"][1],
+                                   atol=1e-5)
