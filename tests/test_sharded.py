@@ -349,3 +349,105 @@ def test_sharded_cssm_auto_parity():
                                atol=0.2)
     np.testing.assert_allclose(np.median(a_s, 0), [65.0, 115.0],
                                atol=2.0)
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(8, 1), MeshSpec(4, 2),
+                                  MeshSpec(2, 4)])
+def test_sharded_fast_narrowband_parity(spec):
+    """The fused fast path under shard_map (VERDICT r4 missing #1):
+    interleaved ingest + Pallas embedded-covariance kernel + warm
+    subspaces from the psum'd global capture mean + fused Pallas scan
+    into the O(k) merge — must match the single-device fused pipeline
+    at every mesh shape, with overlap > 0 and a calibration
+    correction."""
+    cfg = dataclasses.replace(CFG, cov_impl="pallas")
+    x = _capture().astype(np.complex64)
+    c = np.exp(1j * np.linspace(0, 0.3, 8)).astype(np.complex64)
+    mesh = make_mesh(spec)
+    pipe = build_sharded_pipeline(cfg, mesh)
+    assert pipe.fast
+    out = pipe(x, correction=c)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    ref = build_pipeline_tpu(cfg)(x, correction=c)
+    for est in ("music", "capon"):
+        a_s = np.sort(np.asarray(out[f"peak_angles_{est}"])[:B_valid],
+                      -1)
+        a_r = np.sort(np.asarray(ref.peak_angles[est]), -1)
+        np.testing.assert_allclose(a_s, a_r, atol=5e-3)
+    P_s = np.asarray(out["spectrum_music"])[:B_valid]
+    P_r = np.asarray(ref.spectra["music"])
+    np.testing.assert_allclose(P_s, P_r, rtol=5e-3, atol=2e-3)
+    # escalation counters ride the fast path (healthy capture → 0)
+    assert int(out["escalation_flagged"]) == 0
+    assert int(out["escalation_overflow"]) == 0
+
+
+def test_sharded_fast_gridfree_and_minnorm():
+    """Grid-free estimators + Min-Norm on the fast sharded path."""
+    cfg = dataclasses.replace(
+        CFG, cov_impl="pallas",
+        estimators=(Estimator.MUSIC, Estimator.ROOT_MUSIC,
+                    Estimator.ESPRIT, Estimator.MIN_NORM))
+    x = _capture().astype(np.complex64)
+    mesh = make_mesh(MeshSpec(4, 2))
+    pipe = build_sharded_pipeline(cfg, mesh)
+    assert pipe.fast
+    out = pipe(x)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    for key in ("root_music_angles", "esprit_angles"):
+        a = np.asarray(out[key])[:B_valid]
+        assert np.abs(a[:, 0] - 62.0).max() < 0.5, (key, a)
+        assert np.abs(a[:, 1] - 117.0).max() < 0.5, (key, a)
+    ref = build_pipeline_tpu(cfg)(x)
+    a_s = np.sort(np.asarray(out["peak_angles_min_norm"])[:B_valid], -1)
+    a_r = np.sort(np.asarray(ref.peak_angles["min_norm"]), -1)
+    np.testing.assert_allclose(a_s, a_r, atol=0.05)
+
+
+def test_local_peaks_merge_2d_parity():
+    """The 2-D O(k) az-row-halo merge (VERDICT r4 missing #4) must
+    reproduce dense find_local_max_2d exactly: same peak rule,
+    tie-break, refinement, and global-max normalization — with comm
+    per call independent of G."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from doa_tpu.configs import GridSpec2D
+    from doa_tpu.ops.peaks import find_local_max_2d
+    from doa_tpu.parallel.mesh import GRID_AXIS, SNAP_AXIS
+    from doa_tpu.parallel.sharded import _local_peaks_merge_2d
+
+    g2 = GridSpec2D(num_az=24, num_el=13, az_lo_deg=-90, az_hi_deg=90,
+                    el_lo_deg=0, el_hi_deg=90)
+    rng = np.random.default_rng(0)
+    B, G = 16, 24 * 13
+    az = np.linspace(-90, 90, 24)[None, :, None]
+    el = np.linspace(0, 90, 13)[None, None, :]
+    ca = rng.uniform(-60, 60, (B, 1, 1))
+    ce = rng.uniform(20, 70, (B, 1, 1))
+    Pmat = (1.0 / (((az - ca) / 30) ** 2 + ((el - ce) / 20) ** 2 + 1e-2)
+            + 0.05 * rng.random((B, 24, 13))).astype(
+                np.float32).reshape(B, G)
+    mesh = make_mesh(MeshSpec(2, 4))
+
+    for refine in (False, True):
+        def fn(P_loc):
+            v, l, gmax = _local_peaks_merge_2d(P_loc, 2, g2, refine)
+            return v, l
+
+        sm = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(SNAP_AXIS, GRID_AXIS),),
+            out_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None)),
+            check_vma=False))
+        v_m, l_m = sm(jnp.asarray(Pmat))
+        Pn = Pmat / Pmat.max(-1, keepdims=True)
+        v_r, az_r, el_r = find_local_max_2d(
+            jnp.asarray(Pn).reshape(B, 24, 13), 2,
+            (-90.0, 90.0), (0.0, 90.0), refine=refine)
+        np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_r),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(l_m)[..., 0],
+                                   np.asarray(az_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l_m)[..., 1],
+                                   np.asarray(el_r), atol=1e-5)
