@@ -87,7 +87,7 @@ def _feature_consts(tp: int):
     return (colw.astype(np.float32), coloff.astype(np.float32))
 
 
-def _build(T: int, fused: bool):
+def _build(T: int, fused: bool, overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +107,18 @@ def _build(T: int, fused: bool):
         # e1 + MGS + warm start + escalation armed: exactly the
         # package default configuration.
         power_schedule="e1", power_iters=8)
+    ingest_bf16 = False
+    if overrides:
+        # variant runs (exp_r5.py fastmode): same planted scene, same
+        # angle assertion, knob changes only. "_ingest_bf16" casts the
+        # resident interleaved buffer itself to bfloat16 — the input
+        # read is the pipeline's bandwidth floor (docs/PERF.md), so
+        # this is the knob that can cross it (an 8-bit-mantissa
+        # capture ≈ any real ADC).
+        import dataclasses
+        overrides = dict(overrides)
+        ingest_bf16 = overrides.pop("_ingest_bf16", False)
+        cfg = dataclasses.replace(cfg, **overrides)
     # Production streaming shape: peaks out, spectra stay on-device
     # (on the pallas path the spectrum never leaves VMEM at all).
     pipe = build_pipeline_tpu(cfg, return_spectra=False)
@@ -139,6 +151,8 @@ def _build(T: int, fused: bool):
                                            jnp.float32)
 
         xil = jax.block_until_ready(make_input(key))
+        if ingest_bf16:
+            xil = jax.block_until_ready(xil.astype(jnp.bfloat16))
         call = lambda: pipe.jitted_ilv(xil, cr, ci, Ar, Ai)  # noqa: E731
     else:
         kr, ki = jax.random.split(key)
@@ -176,12 +190,12 @@ def _check_angles(out):
             f"estimated with max error {err:.3f} deg (> 0.5)")
 
 
-def _run(T: int, fused: bool) -> float:
+def _run(T: int, fused: bool, overrides=None) -> float:
     import jax
 
     SNAP = 1024
     B = T // SNAP
-    call = _build(T, fused)
+    call = _build(T, fused, overrides)
 
     def fence(out):
         # On remote/async backends block_until_ready can return at

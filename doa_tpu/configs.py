@@ -284,6 +284,15 @@ class DoaConfig:
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
     # — fine above threshold SNR, see docs/ACCURACY.md).
     cov_dtype: str = "float32"
+    # Wideband incoherent subband-scan + fusion implementation (power
+    # path, compute_dtype float32 only): "xla" = the lax.scan-over-
+    # subbands form (materializes one den/spectrum per subband per
+    # step); "pallas" = the fused two-pass kernel
+    # (ops/pallas/wideband_scan.py — den never leaves VMEM; tf32-class
+    # hi/lo dots); "auto" picks the measured winner per backend
+    # (docs/PERF.md). The kernel is toolchain-sensitive — keep the XLA
+    # fallback reachable (bench try/except pattern).
+    wb_fusion_impl: str = "auto"
     # 2-D peak extraction implementation (ULA 1-D peaks fuse into the
     # scan kernel and ignore this): "auto" = the fused Pallas 2-D peaks
     # kernel whenever the Pallas covariance path is active, XLA
@@ -339,6 +348,10 @@ class DoaConfig:
         if self.peaks_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"peaks_impl {self.peaks_impl!r} not "
+                "'auto' | 'xla' | 'pallas'")
+        if self.wb_fusion_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"wb_fusion_impl {self.wb_fusion_impl!r} not "
                 "'auto' | 'xla' | 'pallas'")
         if self.power_schedule not in ("e1", "e2", "e4"):
             raise ValueError(

@@ -181,6 +181,20 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
     return jax.vmap(spec_one)(M_proj, A_stack), None
 
 
+def _wb_fusion_resolved(cfg: DoaConfig) -> str:
+    """wb_fusion_impl resolution: the fused Pallas kernel applies on
+    the power path at full (tf32-class) scan precision only; "auto"
+    currently resolves to the XLA scan pending the r5 hardware
+    measurement (docs/PERF.md)."""
+    impl = getattr(cfg, "wb_fusion_impl", "auto")
+    if impl == "auto":
+        return "xla"
+    if (impl == "pallas" and (cfg.subspace_method != "power"
+                              or cfg.compute_dtype != "float32")):
+        return "xla"
+    return impl
+
+
 def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
                        E_sub=None):
     """x: Cpx[T, N], A_stack: Cpx[F, G, N], W: DFT Cpx[F, F] →
@@ -204,6 +218,16 @@ def wideband_music_cpx(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
     if cfg.subspace_method == "power":
         V = (subband_subspaces_from_E(E_sub, cfg) if R is None
              else subband_subspaces(R, cfg))         # (F, B, 2N, 2K)
+
+        if _wb_fusion_resolved(cfg) == "pallas":
+            # Fused two-pass kernel: den never leaves VMEM (the XLA
+            # scan's ~675 MB/subband of den/spectrum/acc round-trips
+            # are the stage's measured cost — docs/PERF.md c5 split).
+            from doa_tpu.ops.pallas.wideband_scan import (
+                wideband_fused_spectrum_pallas)
+            At = jnp.concatenate([A_stack.re, A_stack.im], axis=-1)
+            return wideband_fused_spectrum_pallas(
+                V, At, interpret=jax.default_backend() == "cpu")
 
         def step(acc, vA):
             v, Ar, Ai = vA
