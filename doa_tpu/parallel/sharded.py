@@ -651,6 +651,7 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     call.jitted = jitted
     call.mesh = mesh
     call.fast = fast
+    call.steering_planes = (Ar_d, Ai_d)
     return call
 
 

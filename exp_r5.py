@@ -185,7 +185,10 @@ def stage_c5():
     x = _capture_c5(B * cfg0.snapshot_size)
     rows = [("default (r4 composition)", cfg0),
             ("wb_fusion_impl=pallas", dataclasses.replace(
-                cfg0, wb_fusion_impl="pallas"))]
+                cfg0, wb_fusion_impl="pallas")),
+            ("bf16 front-end + bf16 scan (opt-in fast mode)",
+             dataclasses.replace(cfg0, cov_dtype="bfloat16",
+                                 compute_dtype="bfloat16"))]
     for label, cfg in rows:
         try:
             call = _c5_call(cfg, x)
@@ -269,8 +272,74 @@ def stage_fastmode():
              f"({v/9765.6:.1f}x real-time)")
 
 
+def stage_sharded1():
+    """Per-device work of the SHARDED program on the real chip
+    (VERDICT r4 missing #1 'done' criterion): the shard_map pipeline
+    on a (1,1) mesh at the headline shape must now run at the fused
+    single-chip program's rate (~8.5 ms/call), not the ~29 ms XLA
+    composition it used through r4. Input is device-resident noise
+    (detector no-fire; throughput row, not an accuracy row — bench.py
+    carries the planted-scene assertion)."""
+    import jax
+    import jax.numpy as jnp
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec1D)
+    from doa_tpu.parallel import (MeshSpec, build_sharded_pipeline,
+                                  make_mesh)
+
+    SNAP, N, GRID = 1024, 16, 1024
+    T = 1 << 24
+    B = T // SNAP
+    base = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=N,
+                               norm_spacing=0.5),
+        snapshot_size=SNAP, overlap=0, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=GRID), num_max_vals=2)
+    mesh = make_mesh(MeshSpec(n_snap=1, n_grid=1), jax.devices()[:1])
+    key = jax.random.key(0)
+    cr = jnp.ones((N,), jnp.float32)
+    ci = jnp.zeros((N,), jnp.float32)
+
+    for label, cfg in (
+            ("fast (fused per-device program, r5)",
+             dataclasses.replace(base, cov_impl="pallas")),
+            ("xla (the r4 sharded composition)",
+             dataclasses.replace(base, cov_impl="xla"))):
+        pipe = build_sharded_pipeline(cfg, mesh)
+        Ar_d, Ai_d = pipe.steering_planes
+        if pipe.fast:
+            tp = 128 // (2 * N)
+            xin = jax.block_until_ready(jax.random.normal(
+                key, (T // tp, 2 * N * tp), jnp.float32))
+            call = lambda: pipe.jitted(xin, cr, ci, Ar_d, Ai_d)  # noqa
+        else:
+            xr = jax.random.normal(key, (T, N), jnp.float32)
+            xi = jax.random.normal(jax.random.key(1), (T, N),
+                                   jnp.float32)
+            jax.block_until_ready((xr, xi))
+            call = lambda: pipe.jitted(xr, xi, cr, ci, Ar_d, Ai_d)  # noqa
+        _log(f"compiling sharded1 {label} …")
+
+        def fence(out):
+            np.asarray(jax.device_get(
+                out["peak_angles_music"].ravel()[:1]))
+
+        fence(call())
+        for iters in (16, 64):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = call()
+            fence(out)
+            dt = (time.perf_counter() - t0) / iters
+            _log(f"  sharded1 {label} N={iters}: {dt*1e3:.2f} ms/call "
+                 f"({B/dt:.0f} snapshots/s)")
+
+
 STAGES = {"frontend": stage_frontend, "fusion": stage_fusion,
-          "c5": stage_c5, "esc": stage_esc, "fastmode": stage_fastmode}
+          "c5": stage_c5, "esc": stage_esc, "fastmode": stage_fastmode,
+          "sharded1": stage_sharded1}
 
 
 def main():
