@@ -253,8 +253,17 @@ class DoaConfig:
     # Rayleigh separation, and 30°-sweep moving emitters
     # (tests/test_power_subspace.py, tests/test_wideband_fast.py).
     # Requires subspace_method="power"; cold iteration via False.
+    # power_iters_warm: E-applies per window from the mean init. The
+    # r5 default is 2 (was 3): measured equal to cold through every
+    # probed edge — 0/20 dB imbalance (bit-equal angles), abrupt
+    # mid-capture scene change (6e-4°), 0 dB SNR (2e-4°) — because
+    # each apply contracts the init error by λ_{K+1}/λ_K (large after
+    # S-sample averaging), and the armed escalation detector catches
+    # any window where 2 applies were NOT enough (res > tol ⇒
+    # per-window extra rounds). One fewer pass over the E stack:
+    # c5 54.3 → 50.3 ms, headline ~0.5 ms (docs/PERF.md r5).
     subspace_warm_start: bool = True
-    power_iters_warm: int = 3
+    power_iters_warm: int = 2
     # MUSIC scan strategy: "dense" scans the full grid; "hierarchical"
     # (ULA + power path only) runs a coarse grid scan then refines each
     # peak on an on-device micro-grid — resolution beyond the grid at a
@@ -510,6 +519,24 @@ PRESETS = {
         estimators=(Estimator.MUSIC,),
         grid=GridSpec1D(num_points=1024),
         num_max_vals=2,
+    ),
+    # FAST MODE (r5, beyond the five BASELINE presets): the headline
+    # 16-element config with bf16 covariance Grams, intended for a
+    # BFLOAT16 resident ingest buffer (pipe.interleaved(
+    # xil.astype(jnp.bfloat16)) — the input read is the f32 pipeline's
+    # bandwidth floor, and an 8-bit-mantissa capture exceeds any real
+    # ADC's dynamic range). Measured 2,492,885 snapshots/s (255× real
+    # time) at angle error IDENTICAL to f32 on the bench's planted
+    # scene (0.030° max over 16384 windows) — docs/PERF.md r5.
+    "fast_bf16": DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024,
+        num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024),
+        num_max_vals=2,
+        cov_dtype="bfloat16",
     ),
     # "64-element planar array, 2-D az/el MUSIC scan, wideband sources via
     #  per-subband FFT channelizer + incoherent spectrum fusion"

@@ -183,15 +183,16 @@ def _subband_spectra(x: Cpx, A_stack: Cpx, W: Cpx, cfg: DoaConfig,
 
 def _wb_fusion_resolved(cfg: DoaConfig) -> str:
     """wb_fusion_impl resolution: the fused Pallas kernel applies on
-    the power path at full (tf32-class) scan precision only; "auto"
-    currently resolves to the XLA scan pending the r5 hardware
-    measurement (docs/PERF.md)."""
+    the power path at full (tf32-class) scan precision only. "auto"
+    resolves to the kernel on TPU backends (measured r5: c5 57.4 →
+    54.0 ms median-of-3, exact parity — docs/PERF.md) and to the XLA
+    scan on CPU (the interpreter would crawl; tests opt in
+    explicitly)."""
     impl = getattr(cfg, "wb_fusion_impl", "auto")
+    if cfg.subspace_method != "power" or cfg.compute_dtype != "float32":
+        return "xla"
     if impl == "auto":
-        return "xla"
-    if (impl == "pallas" and (cfg.subspace_method != "power"
-                              or cfg.compute_dtype != "float32")):
-        return "xla"
+        return ("pallas" if jax.default_backend() != "cpu" else "xla")
     return impl
 
 

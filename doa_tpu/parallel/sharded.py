@@ -240,9 +240,17 @@ def _local_peaks_merge_2d(P_loc, num_max_vals: int, g2, refine: bool):
 
 
 def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
-                           refine_peaks: bool = True):
+                           refine_peaks: bool = True,
+                           return_spectra: bool = True):
     """→ callable(x: complex (T, N) | Cpx, correction) → dict of sharded
     outputs. T must be divisible by (n_snap * hop).
+
+    return_spectra=False drops the (B, G) spectrum outputs (peaks only
+    — the production streaming shape, mirroring build_pipeline_tpu):
+    on the fast path with an UNSHARDED grid (n_grid=1, pure DP) the
+    MUSIC scan then fuses normalize+peaks into the scan kernel and the
+    spectrum never leaves VMEM — per-device work equals the fused
+    single-chip program (measured: docs/PERF.md r5 sharded row).
 
     Wideband configs use the EXPERT-PARALLEL layout (SURVEY §2.5 EP):
     the time axis is snap-sharded as usual, each device channelizes its
@@ -317,21 +325,25 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
         """Shared peak extraction + merge: 1-D → O(k) column-halo
         merge; 2-D → O(k) az-row-halo merge when shard boundaries
         align with az rows, full-spectrum gather otherwise. The
-        spectrum output stays GRID-sharded on the merge paths."""
+        spectrum output stays GRID-sharded on the merge paths (and is
+        dropped entirely under return_spectra=False)."""
         if is_2d and use_2d_merge:
             v, l, gmax = _local_peaks_merge_2d(
                 P_loc, cfg.num_max_vals, cfg.grid2d, refine_peaks)
-            out[f"spectrum_{est.value}"] = P_loc / gmax
+            if return_spectra:
+                out[f"spectrum_{est.value}"] = P_loc / gmax
         elif is_2d:
             P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
                                         tiled=True)
             P_full = P_full / jnp.max(P_full, axis=-1, keepdims=True)
             v, l = _peaks(P_full)
-            out[f"spectrum_{est.value}"] = P_full
+            if return_spectra:
+                out[f"spectrum_{est.value}"] = P_full
         else:
             v, l, gmax = _local_peaks_merge_1d(
                 P_loc, cfg.num_max_vals, x_rng, refine_peaks)
-            out[f"spectrum_{est.value}"] = P_loc / gmax
+            if return_spectra:
+                out[f"spectrum_{est.value}"] = P_loc / gmax
         out[f"peak_values_{est.value}"] = v
         out[f"peak_angles_{est.value}"] = l
 
@@ -534,6 +546,23 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
                          jnp.zeros(((Bp - B_loc) * k2, n2),
                                    Vp_flat.dtype)], axis=0)
                 Vp = Vp_flat.reshape(-1, W_pack * k2, n2)
+                if (not return_spectra and n_grid == 1 and not is_2d
+                        and cfg.num_max_vals <= 4):
+                    # unsharded grid: peaks fuse into the scan kernel
+                    # and no merge is needed — per-device work equals
+                    # the fused single-chip streaming program
+                    from doa_tpu.ops.pallas.music_scan import (
+                        music_scan_peaks_from_packed)
+                    try:
+                        v, l = music_scan_peaks_from_packed(
+                            Vp, k2, embed_vector(A),
+                            cfg.num_max_vals, x_rng[0], x_rng[1],
+                            refine=refine_peaks, interpret=interp)
+                        out[f"peak_values_{est.value}"] = v[:B_loc]
+                        out[f"peak_angles_{est.value}"] = l[:B_loc]
+                        continue
+                    except ValueError:
+                        pass   # grid too large for VMEM: unfused
                 P_loc = music_scan_from_packed(
                     Vp, k2, embed_vector(A), interpret=interp)[:B_loc]
             elif est == Estimator.MIN_NORM:
@@ -564,7 +593,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     for est in cfg.estimators:
         if est in (Estimator.MUSIC, Estimator.CAPON,
                    Estimator.MIN_NORM, Estimator.BARTLETT):
-            out_specs[f"spectrum_{est.value}"] = spec_sharded
+            if return_spectra:
+                out_specs[f"spectrum_{est.value}"] = spec_sharded
             out_specs[f"peak_values_{est.value}"] = P(SNAP_AXIS, None)
             out_specs[f"peak_angles_{est.value}"] = P(SNAP_AXIS, None)
     if (Estimator.ROOT_MUSIC in cfg.estimators

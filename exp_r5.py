@@ -188,7 +188,10 @@ def stage_c5():
                 cfg0, wb_fusion_impl="pallas")),
             ("bf16 front-end + bf16 scan (opt-in fast mode)",
              dataclasses.replace(cfg0, cov_dtype="bfloat16",
-                                 compute_dtype="bfloat16"))]
+                                 compute_dtype="bfloat16")),
+            ("bf16 front-end + f32 pallas fusion (combined)",
+             dataclasses.replace(cfg0, cov_dtype="bfloat16",
+                                 wb_fusion_impl="pallas"))]
     for label, cfg in rows:
         try:
             call = _c5_call(cfg, x)
@@ -306,7 +309,7 @@ def stage_sharded1():
              dataclasses.replace(base, cov_impl="pallas")),
             ("xla (the r4 sharded composition)",
              dataclasses.replace(base, cov_impl="xla"))):
-        pipe = build_sharded_pipeline(cfg, mesh)
+        pipe = build_sharded_pipeline(cfg, mesh, return_spectra=False)
         Ar_d, Ai_d = pipe.steering_planes
         if pipe.fast:
             tp = 128 // (2 * N)

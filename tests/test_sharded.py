@@ -451,3 +451,30 @@ def test_local_peaks_merge_2d_parity():
                                    np.asarray(az_r), atol=1e-5)
         np.testing.assert_allclose(np.asarray(l_m)[..., 1],
                                    np.asarray(el_r), atol=1e-5)
+
+
+def test_sharded_fast_peaks_only_mode():
+    """return_spectra=False (the production streaming shape): on the
+    fast path with an unsharded grid the scan+peaks kernel fuses (no
+    spectrum leaves VMEM) — peaks must equal the spectra-mode merge at
+    (8,1) AND the single-chip fused streaming pipeline; grid-sharded
+    meshes keep the merge, minus the spectrum outputs."""
+    cfg = dataclasses.replace(CFG, cov_impl="pallas",
+                              estimators=(Estimator.MUSIC,))
+    x = _capture().astype(np.complex64)
+    B_valid = num_valid_windows(x.shape[0], cfg)
+    ref = build_pipeline_tpu(cfg, return_spectra=False)(x)
+    a_r = np.asarray(ref.peak_angles["music"])
+    for spec in (MeshSpec(8, 1), MeshSpec(4, 2)):
+        mesh = make_mesh(spec)
+        pipe = build_sharded_pipeline(cfg, mesh, return_spectra=False)
+        assert pipe.fast
+        out = pipe(x)
+        assert not any(k.startswith("spectrum") for k in out)
+        a_s = np.asarray(out["peak_angles_music"])[:B_valid]
+        np.testing.assert_allclose(np.sort(a_s, -1), np.sort(a_r, -1),
+                                   atol=5e-3)
+        full = build_sharded_pipeline(cfg, mesh)(x)
+        np.testing.assert_allclose(
+            a_s, np.asarray(full["peak_angles_music"])[:B_valid],
+            atol=5e-3)
