@@ -92,12 +92,17 @@ def subband_covariances(x: Cpx, W: Cpx, cfg: DoaConfig) -> Cpx:
         sub, S_sub, S_sub - hop_sub, fb_average=False))(xs)
 
 
-def subband_subspaces(R: Cpx, cfg: DoaConfig):
+def subband_subspaces(R: Cpx, cfg: DoaConfig, Ebar=None):
     """Per-subband embedded signal subspaces f32[F, B, 2N, 2K]
-    (power path)."""
-    if cfg.subspace_warm_start and R.re.shape[1] >= 32:
+    (power path). Ebar: optional (F, 2N, 2N) capture-mean override for
+    the warm start (sharded callers pass the psum'd GLOBAL mean so the
+    init matches the single-device pipeline — at power_iters_warm=2 a
+    shard-local mean leaves a visible init residue)."""
+    if Ebar is not None or (cfg.subspace_warm_start
+                            and R.re.shape[1] >= 32):
         from doa_tpu.cpx import embed_hermitian
-        return subband_subspaces_from_E(embed_hermitian(R), cfg)
+        return subband_subspaces_from_E(embed_hermitian(R), cfg,
+                                        Ebar=Ebar)
     # subband windows hold S/F samples — the escalation floor scales to
     # that operating point's Wishart noise-bulk edge (escalate_kwargs_for)
     esc = cfg.escalate_kwargs_for(
@@ -108,7 +113,7 @@ def subband_subspaces(R: Cpx, cfg: DoaConfig):
         **(esc if cfg.power_squarings == 0 else {})))(R)
 
 
-def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
+def subband_subspaces_from_E(E_sub, cfg: DoaConfig, Ebar=None):
     """Pre-embedded per-subband covariances f32[F, B, 2N, 2N] (the
     wideband Pallas front-end's output) → signal subspaces
     f32[F, B, 2N, 2K]. Merges the (F, B) axes so the subspace
@@ -123,9 +128,14 @@ def subband_subspaces_from_E(E_sub, cfg: DoaConfig):
     K2 = 2 * cfg.num_sources
     esc = cfg.escalate_kwargs_for(
         cfg.snapshot_size // cfg.wideband.num_subbands, n2=n2)
-    if cfg.subspace_warm_start and B >= 32:
+    # Ebar given ⇒ warm regardless of the LOCAL batch size (sharded
+    # callers gate on the GLOBAL window count and pass the pmean'd
+    # global mean, so shards match the single-device program exactly)
+    if Ebar is not None or (cfg.subspace_warm_start and B >= 32):
+        if Ebar is None:
+            Ebar = jnp.mean(E_sub, axis=1)
         Vt_bar = cpx_ops.signal_subspace_from_E_T(
-            jnp.mean(E_sub, axis=1), cfg.num_sources,
+            Ebar, cfg.num_sources,
             iters=max(cfg.power_iters, 8),
             **esc)                                   # (F, 2K, 2N)
         # (The r3 fused warm-refine Pallas kernel was removed in r4:

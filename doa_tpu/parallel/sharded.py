@@ -760,7 +760,15 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
                                              axis=0)
         A_loc = Cpx(Asr, Asi)                       # (F_loc, G, N)
         if cfg.subspace_method == "power":
-            V = subband_subspaces_from_E(E_loc, cfg)
+            # warm start from the GLOBAL capture mean (pmean over the
+            # time shards): shard-local means leave a visible init
+            # residue at power_iters_warm=2 (r5)
+            # gate on the GLOBAL window count (single-device semantics)
+            Ebar = (jax.lax.pmean(jnp.mean(E_loc, axis=1), SNAP_AXIS)
+                    if cfg.subspace_warm_start
+                    and E_loc.shape[1] * mesh.shape[SNAP_AXIS] >= 32
+                    else None)
+            V = subband_subspaces_from_E(E_loc, cfg, Ebar=Ebar)
 
             def spec_one(v, Af):
                 den = jnp.maximum(
@@ -808,11 +816,17 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         R = cpx_ops.apply_correction_to_cov(R, Cpx(cr, ci))
         A_loc = Cpx(Asr, Asi)                           # (F_loc, G, N)
         if cfg.subspace_method == "power":
-            # subband_subspaces honors subspace_warm_start (per-LOCAL-
-            # subband capture-mean init — identical to the single-
-            # device per-subband means, so parity is preserved)
+            # subband_subspaces honors subspace_warm_start; the warm
+            # init uses the GLOBAL capture mean (pmean over time
+            # shards) so it matches the single-device pipeline's
+            from doa_tpu.cpx import embed_hermitian
             from doa_tpu.ops.wideband import subband_subspaces
-            V = subband_subspaces(R, cfg)
+            Ebar = (jax.lax.pmean(
+                jnp.mean(embed_hermitian(R), axis=1), SNAP_AXIS)
+                if cfg.subspace_warm_start
+                and R.re.shape[1] * mesh.shape[SNAP_AXIS] >= 32
+                else None)
+            V = subband_subspaces(R, cfg, Ebar=Ebar)
 
             def spec_one(v, Af):
                 den = jnp.maximum(
