@@ -107,7 +107,7 @@ def _build(T: int, fused: bool, overrides=None):
         # e1 + MGS + warm start + escalation armed: exactly the
         # package default configuration.
         power_schedule="e1", power_iters=8)
-    ingest_bf16 = False
+    ingest_bf16 = ingest_int8 = False
     if overrides:
         # variant runs (exp_r5.py fastmode): same planted scene, same
         # angle assertion, knob changes only. "_ingest_bf16" casts the
@@ -118,6 +118,7 @@ def _build(T: int, fused: bool, overrides=None):
         import dataclasses
         overrides = dict(overrides)
         ingest_bf16 = overrides.pop("_ingest_bf16", False)
+        ingest_int8 = overrides.pop("_ingest_int8", False)
         cfg = dataclasses.replace(cfg, **overrides)
     # Production streaming shape: peaks out, spectra stay on-device
     # (on the pallas path the spectrum never leaves VMEM at all).
@@ -153,6 +154,10 @@ def _build(T: int, fused: bool, overrides=None):
         xil = jax.block_until_ready(make_input(key))
         if ingest_bf16:
             xil = jax.block_until_ready(xil.astype(jnp.bfloat16))
+        if ingest_int8:
+            from doa_tpu.io.native import quantize_interleaved_int8
+            xil = jax.block_until_ready(
+                quantize_interleaved_int8(xil)[0])
         call = lambda: pipe.jitted_ilv(xil, cr, ci, Ar, Ai)  # noqa: E731
     else:
         kr, ki = jax.random.split(key)

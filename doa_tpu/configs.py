@@ -291,7 +291,14 @@ class DoaConfig:
     subspace_impl: str = "auto"
     # Gram input precision: "bfloat16" quarters the MXU pass count of the
     # covariance stage (f32 accumulation; ~3 decimal digits on R entries
-    # — fine above threshold SNR, see docs/ACCURACY.md).
+    # — fine above threshold SNR, see docs/ACCURACY.md). "int8" is the
+    # INGEST-QUANTIZED mode (fused Pallas path only): feed a
+    # pre-quantized int8 interleaved buffer
+    # (io.native.quantize_interleaved_int8 → pipe.interleaved(xq)) —
+    # ¼ the input read (the f32 pipeline's bandwidth floor), exact
+    # int32 Gram accumulation, R carries the quantization scale²
+    # (every consumer is scale-invariant). The modern analog of the
+    # reference fork's 16-bit fixed-point Connex ingest (SURVEY §2.2).
     cov_dtype: str = "float32"
     # Wideband incoherent subband-scan + fusion implementation (power
     # path, compute_dtype float32 only): "xla" = the lax.scan-over-
@@ -348,9 +355,10 @@ class DoaConfig:
             raise ValueError(
                 f"subspace_impl {self.subspace_impl!r} not "
                 "'auto' | 'xla' | 'pallas'")
-        if self.cov_dtype not in ("float32", "bfloat16"):
+        if self.cov_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
-                f"cov_dtype {self.cov_dtype!r} not 'float32' | 'bfloat16'")
+                f"cov_dtype {self.cov_dtype!r} not "
+                "'float32' | 'bfloat16' | 'int8'")
         if self.halo_impl not in ("xla", "pallas"):
             raise ValueError(
                 f"halo_impl {self.halo_impl!r} not 'xla' | 'pallas'")
@@ -537,6 +545,23 @@ PRESETS = {
         grid=GridSpec1D(num_points=1024),
         num_max_vals=2,
         cov_dtype="bfloat16",
+    ),
+    # int8 INGEST fast mode (r5): pre-quantize the capture with
+    # io.native.quantize_interleaved_int8 and feed the int8 buffer to
+    # pipe.interleaved — ¼ the input read, EXACT int32 Grams, R is
+    # scale-invariant downstream. Measured 2,704,138 snapshots/s
+    # (277×) at 0.0303° max planted-scene error == the f32 pipeline's
+    # (docs/PERF.md r5) — the modern analog of the reference fork's
+    # 16-bit fixed-point Connex ingest, two bits further.
+    "fast_int8": DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=1024,
+        num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=1024),
+        num_max_vals=2,
+        cov_dtype="int8",
     ),
     # "64-element planar array, 2-D az/el MUSIC scan, wideband sources via
     #  per-subband FFT channelizer + incoherent spectrum fusion"

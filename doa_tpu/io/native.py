@@ -128,3 +128,23 @@ def frame_block(tail: np.ndarray | None, block: np.ndarray,
         _fp(block.view(np.float32)), T, N,
         _fp(re), _fp(im), threads or _DEFAULT_THREADS)
     return re, im
+
+
+def quantize_interleaved_int8(xil, clip_sigma: float = 6.0):
+    """Interleaved f32 sample rows → (int8 rows, scale) for the int8
+    ingest mode (`cov_dtype="int8"`, fused Pallas path).
+
+    q = round(clip(x, ±A)·127/A), A = clip_sigma·RMS — a symmetric
+    mid-tread quantizer matching a real int8 ADC driven at
+    `clip_sigma` sigmas of headroom. The returned scale (127/A) is
+    informational only: the quantized covariance is scale²·R and every
+    downstream consumer is scale-invariant (docs/ACCURACY.md r5).
+    Accepts numpy or jax arrays; computes on whichever device the
+    input lives on."""
+    import jax.numpy as jnp
+
+    rms = jnp.sqrt(jnp.mean(jnp.square(xil)))
+    A = clip_sigma * jnp.maximum(rms, 1e-30)
+    s = 127.0 / A
+    q = jnp.clip(jnp.round(xil * s), -127, 127).astype(jnp.int8)
+    return q, s

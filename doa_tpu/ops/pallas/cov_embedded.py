@@ -215,6 +215,25 @@ def _cov_kernel_uhat(z_ref, u_ref, *, N: int, hop: int, tp: int,
     outs = []
     for c in range(cb):
         z = z_ref[c * rows:(c + 1) * rows, :]
+        if compute_dtype == jnp.int8:
+            # int8 INGEST mode: the resident buffer is pre-quantized
+            # int8 (io.native.quantize_interleaved_int8) — the Gram
+            # runs int8×int8→int32 on the MXU (4× the f32 rate, ¼ the
+            # input read) and is EXACT in int32; entries are ≤
+            # rows·127² < 2²⁴ so the f32 cast below is exact too. R
+            # carries the quantization scale² — every downstream
+            # consumer is scale-invariant (subspace/MUSIC/peaks by
+            # construction; Capon's diagonal load and the escalation
+            # detector normalize by the trace).
+            U = jax.lax.dot_general(
+                z, z, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
+            u32 = U[0:n2, 0:n2]
+            for i in range(1, tp):
+                u32 = u32 + U[i * n2:(i + 1) * n2, i * n2:(i + 1) * n2]
+            outs.append(u32.astype(f32))
+            continue
         if compute_dtype != f32:
             zb = z.astype(compute_dtype)
             U = gram(zb, zb)
@@ -254,6 +273,14 @@ def cov_embedded_pallas(xil, cr, ci, *, N: int, snapshot_size: int,
         raise ValueError(
             f"need TPACK ({tp}) | gcd(S, hop) ({g}) on the interleaved "
             "path — use the planes path for this overlap")
+    if compute_dtype == jnp.int8:
+        if variant != "stacked":
+            raise ValueError("int8 ingest supports the stacked variant")
+        if xil.dtype != jnp.int8:
+            raise ValueError(
+                "cov_dtype='int8' is the INGEST-quantized mode: feed a "
+                "pre-quantized int8 buffer "
+                "(io.native.quantize_interleaved_int8)")
     Trows, width = xil.shape
     assert width == 2 * N * tp
     T = Trows * tp

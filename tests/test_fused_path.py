@@ -126,3 +126,59 @@ def test_cov_embedded_variants_agree():
             xil, c.re, c.im, N=N, snapshot_size=S, overlap=ov, fb=fb,
             variant="chunk", interpret=True))
         np.testing.assert_allclose(Es, Ec, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_ingest_mode():
+    """cov_dtype='int8' (r5 ingest-quantized mode): a pre-quantized
+    int8 interleaved buffer through the fused path must estimate the
+    planted scene, and the quantized covariance must equal scale2*R of
+    the quantized samples exactly (int32 Gram accumulation)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from doa_tpu.configs import (ArrayGeometry, DoaConfig, Estimator,
+                                 GridSpec1D)
+    from doa_tpu.io import SourceSpec, synth_ula_iq
+    from doa_tpu.io.native import quantize_interleaved_int8
+    from doa_tpu.pipeline_tpu import build_pipeline_tpu
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=16,
+                               norm_spacing=0.5),
+        snapshot_size=512, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=512), num_max_vals=2,
+        cov_impl="pallas", cov_dtype="int8")
+    x = synth_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.1),
+         SourceSpec(theta_deg=117.0, freq_norm=0.3)],
+        16, 0.5, 64 * 512, snr_db=10, seed=3).astype(np.complex64)
+    T = x.shape[0]
+    tp = 128 // 32
+    xil = np.ascontiguousarray(x).view(np.float32).reshape(
+        T // tp, 32 * tp)
+    xq, scale = quantize_interleaved_int8(jnp.asarray(xil))
+    pipe = build_pipeline_tpu(cfg, return_spectra=False)
+    assert pipe.fast_path
+    res = pipe.interleaved(xq)
+    ang = np.sort(np.asarray(res.peak_angles["music"]), -1)
+    assert np.abs(ang[:, 0] - 62.0).max() < 0.5, ang
+    assert np.abs(ang[:, 1] - 117.0).max() < 0.5, ang
+
+    # f32 pipeline on the DEQUANTIZED samples == int8 pipeline (the
+    # Gram is exact in int32, so the only difference is the global
+    # scale2, which peaks/angles are invariant to)
+    cfg_f = dataclasses.replace(cfg, cov_dtype="float32")
+    xdq = np.asarray(xq, np.float32) / float(scale)
+    res_f = build_pipeline_tpu(cfg_f, return_spectra=False).interleaved(
+        jnp.asarray(xdq))
+    np.testing.assert_allclose(
+        ang, np.sort(np.asarray(res_f.peak_angles["music"]), -1),
+        atol=1e-3)
+
+    # feeding a float buffer in int8 mode is a contract error
+    import pytest
+    with pytest.raises(Exception, match="int8"):
+        np.asarray(pipe.interleaved(jnp.asarray(xil))
+                   .peak_angles["music"])
