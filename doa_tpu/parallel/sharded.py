@@ -260,7 +260,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
     stack), and the incoherent fusion is one psum over that axis —
     comm volume O(B·G) per device, independent of F."""
     if cfg.wideband.enabled:
-        return _build_sharded_wideband(cfg, mesh, refine_peaks)
+        return _build_sharded_wideband(cfg, mesh, refine_peaks,
+                                       return_spectra)
     A_host, x_rng = _steering_matrix(cfg)
     bs = cfg.beamspace.enabled
     if bs:
@@ -686,7 +687,8 @@ def build_sharded_pipeline(cfg: DoaConfig, mesh: Mesh,
 
 
 def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
-                            refine_peaks: bool = True):
+                            refine_peaks: bool = True,
+                            return_spectra: bool = True):
     """EP-sharded wideband (see build_sharded_pipeline).
 
     fusion="cssm" reuses the mesh's second axis TWICE: as the EP axis
@@ -696,7 +698,8 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
     merge) — the coherent fusion point is a single N×N psum, after
     which the axis would otherwise idle."""
     if cfg.wideband.fusion in ("cssm", "cssm_auto"):
-        return _build_sharded_cssm(cfg, mesh, refine_peaks)
+        return _build_sharded_cssm(cfg, mesh, refine_peaks,
+                                   return_spectra)
     from doa_tpu.ops.wideband import (
         dft_matrix, wideband_steering_stack)
     from doa_tpu.pipeline import _steering_fn
@@ -796,8 +799,10 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
             P_sub = jax.vmap(spec_one)(Mp, A_loc)
         P = jax.lax.psum(jnp.sum(P_sub, axis=0), GRID_AXIS) / F
         v, l = _peaks(P)
-        return {"spectrum_music": P, "peak_values_music": v,
-                "peak_angles_music": l}
+        out = {"peak_values_music": v, "peak_angles_music": l}
+        if return_spectra:
+            out["spectrum_music"] = P
+        return out
 
     def shard_fn(xr, xi, cr, ci, Wr, Wi, Asr, Asi):
         from doa_tpu.ops.wideband import channelize_cpx
@@ -854,12 +859,15 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
         # EP fusion: one psum of the local subband-sum over the EP axis.
         P = jax.lax.psum(jnp.sum(P_sub, axis=0), GRID_AXIS) / F
         v, l = _peaks(P)
-        return {"spectrum_music": P, "peak_values_music": v,
-                "peak_angles_music": l}
+        out = {"peak_values_music": v, "peak_angles_music": l}
+        if return_spectra:
+            out["spectrum_music"] = P
+        return out
 
-    out_specs = {"spectrum_music": P(SNAP_AXIS, None),
-                 "peak_values_music": P(SNAP_AXIS, None),
+    out_specs = {"peak_values_music": P(SNAP_AXIS, None),
                  "peak_angles_music": P(SNAP_AXIS, None)}
+    if return_spectra:
+        out_specs["spectrum_music"] = P(SNAP_AXIS, None)
     if fast:
         mapped = jax.shard_map(
             shard_fn_fast, mesh=mesh,
@@ -937,7 +945,8 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
 
 
 def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
-                        refine_peaks: bool = True):
+                        refine_peaks: bool = True,
+                        return_spectra: bool = True):
     """EP→TP coherent wideband: subband-sharded focused covariances,
     psum-fused R_coh, grid-sharded narrowband MUSIC scan.
 
@@ -1057,8 +1066,10 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
         if is_2d and use_2d_merge:
             v, l, gmax = _local_peaks_merge_2d(
                 P_loc, cfg.num_max_vals, cfg.grid2d, refine_peaks)
-            return {"spectrum_music": P_loc / gmax,
-                    "peak_values_music": v, "peak_angles_music": l}
+            out = {"peak_values_music": v, "peak_angles_music": l}
+            if return_spectra:
+                out["spectrum_music"] = P_loc / gmax
+            return out
         if is_2d:
             P_full = jax.lax.all_gather(P_loc, GRID_AXIS, axis=1,
                                         tiled=True)
@@ -1072,19 +1083,24 @@ def _build_sharded_cssm(cfg: DoaConfig, mesh: Mesh,
                 (g2.az_lo_deg, g2.az_hi_deg),
                 (g2.el_lo_deg, g2.el_hi_deg), refine=refine_peaks)
             l = jnp.stack([az, el], axis=-1)
-            return {"spectrum_music": P_full, "peak_values_music": v,
-                    "peak_angles_music": l}
+            out = {"peak_values_music": v, "peak_angles_music": l}
+            if return_spectra:
+                out["spectrum_music"] = P_full
+            return out
         v, l, gmax = _local_peaks_merge_1d(
             P_loc, cfg.num_max_vals, x_rng, refine_peaks)
-        return {"spectrum_music": P_loc / gmax, "peak_values_music": v,
-                "peak_angles_music": l}
+        out = {"peak_values_music": v, "peak_angles_music": l}
+        if return_spectra:
+            out["spectrum_music"] = P_loc / gmax
+        return out
 
     out_specs = {
-        "spectrum_music": (P(SNAP_AXIS, None)
-                           if (is_2d and not use_2d_merge)
-                           else P(SNAP_AXIS, GRID_AXIS)),
         "peak_values_music": P(SNAP_AXIS, None),
         "peak_angles_music": P(SNAP_AXIS, None)}
+    if return_spectra:
+        out_specs["spectrum_music"] = (
+            P(SNAP_AXIS, None) if (is_2d and not use_2d_merge)
+            else P(SNAP_AXIS, GRID_AXIS))
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),

@@ -478,3 +478,34 @@ def test_sharded_fast_peaks_only_mode():
         np.testing.assert_allclose(
             a_s, np.asarray(full["peak_angles_music"])[:B_valid],
             atol=5e-3)
+
+
+def test_sharded_wideband_peaks_only_mode():
+    """return_spectra=False reaches the wideband and CSSM sharded
+    builders too: no spectrum outputs, identical peaks."""
+    from doa_tpu.configs import WidebandSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=117.0, freq_norm=0.0,
+                    bandwidth_norm=0.5)],
+        8, 0.5, 16 * 1024, snr_db=12, seed=7, fractional_bw=0.1)
+    mesh = make_mesh(MeshSpec(4, 2))
+    for fusion in ("incoherent", "cssm"):
+        cfg = DoaConfig(
+            geometry=ArrayGeometry(kind="ula", num_elements=8,
+                                   norm_spacing=0.5),
+            snapshot_size=256, num_sources=2,
+            estimators=(Estimator.MUSIC,),
+            grid=GridSpec1D(num_points=128),
+            wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1,
+                                  fusion=fusion),
+            num_max_vals=2)
+        full = build_sharded_pipeline(cfg, mesh)(x)
+        lean = build_sharded_pipeline(cfg, mesh,
+                                      return_spectra=False)(x)
+        assert not any(k.startswith("spectrum") for k in lean), fusion
+        np.testing.assert_allclose(
+            np.asarray(lean["peak_angles_music"]),
+            np.asarray(full["peak_angles_music"]), atol=1e-5)
