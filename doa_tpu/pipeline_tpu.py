@@ -703,7 +703,14 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             T = (x.shape[0] // tp) * tp
             xil = np.ascontiguousarray(x[:T]).view(np.float32).reshape(
                 T // tp, 2 * N * tp)
-            out = run_ilv(jnp.asarray(xil), cr, ci, A_re_d, A_im_d,
+            xil_d = jnp.asarray(xil)
+            if fast_cov and cfg.cov_dtype == "int8":
+                # fast_int8 preset through the ordinary entry: quantize
+                # on device (one pass); resident int8 buffers enter via
+                # call.interleaved and skip this
+                from doa_tpu.io.native import quantize_interleaved_int8
+                xil_d = quantize_interleaved_int8(xil_d)[0]
+            out = run_ilv(xil_d, cr, ci, A_re_d, A_im_d,
                           *(wb_ilv_args if wb_fast else ()))
             return DoaResult(**out)
         if isinstance(x, Cpx):
@@ -724,7 +731,14 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                              "Pallas path (cov_impl='pallas'/auto on "
                              "TPU, power subspace, no smoothing)")
         cr, ci = _correction_planes(cfg.geometry.num_elements, correction)
-        return DoaResult(**run_ilv(jnp.asarray(xil), cr, ci,
+        xil = jnp.asarray(xil)
+        if (fast_cov and cfg.cov_dtype == "int8"
+                and jnp.issubdtype(xil.dtype, jnp.floating)):
+            # float buffer into the int8 mode: quantize on device;
+            # pre-quantized int8 buffers pass through untouched
+            from doa_tpu.io.native import quantize_interleaved_int8
+            xil = quantize_interleaved_int8(xil)[0]
+        return DoaResult(**run_ilv(xil, cr, ci,
                                    A_re_d, A_im_d,
                                    *(wb_ilv_args if wb_fast else ())))
 

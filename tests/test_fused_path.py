@@ -177,8 +177,14 @@ def test_int8_ingest_mode():
         ang, np.sort(np.asarray(res_f.peak_angles["music"]), -1),
         atol=1e-3)
 
-    # feeding a float buffer in int8 mode is a contract error
-    import pytest
-    with pytest.raises(Exception, match="int8"):
-        np.asarray(pipe.interleaved(jnp.asarray(xil))
-                   .peak_angles["music"])
+    # a float buffer through the int8 mode auto-quantizes on device
+    # (the fast_int8 preset works via the ordinary entries); the c64
+    # front door works too
+    res_auto = pipe.interleaved(jnp.asarray(xil))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res_auto.peak_angles["music"]), -1),
+        ang, atol=0.2)
+    res_c64 = pipe(x)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res_c64.peak_angles["music"]), -1),
+        ang, atol=0.2)
