@@ -772,6 +772,25 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
                     and E_loc.shape[1] * mesh.shape[SNAP_AXIS] >= 32
                     else None)
             V = subband_subspaces_from_E(E_loc, cfg, Ebar=Ebar)
+            from doa_tpu.ops.wideband import _wb_fusion_resolved
+            if _wb_fusion_resolved(cfg) == "pallas":
+                # per-device partial fusion through the fused kernel
+                # (ops/pallas/wideband_scan): mean over LOCAL subbands
+                # × F_loc = the local subband-sum; one psum fuses the
+                # mesh — same semantics as the vmap form, den never
+                # leaves VMEM per device
+                from doa_tpu.cpx import embed_vector
+                from doa_tpu.ops.pallas.wideband_scan import (
+                    wideband_fused_spectrum_pallas)
+                P_part = wideband_fused_spectrum_pallas(
+                    V, embed_vector(A_loc),
+                    interpret=interp) * F_loc       # (B, G) local sum
+                P = jax.lax.psum(P_part, GRID_AXIS) / F
+                v, l = _peaks(P)
+                out = {"peak_values_music": v, "peak_angles_music": l}
+                if return_spectra:
+                    out["spectrum_music"] = P
+                return out
 
             def spec_one(v, Af):
                 den = jnp.maximum(

@@ -68,3 +68,43 @@ def test_wb_fusion_impl_pipeline_parity():
     np.testing.assert_allclose(
         np.sort(np.asarray(out.peak_angles["music"]), -1),
         np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=5e-3)
+
+
+def test_sharded_ep_fusion_kernel_parity():
+    """The fusion kernel under shard_map (per-device partial fusion
+    over LOCAL subbands, psum across the EP axis) must match the
+    vmap+psum sharded path and the single-device pipeline."""
+    from doa_tpu.parallel import (MeshSpec, build_sharded_pipeline,
+                                  make_mesh)
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=128),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.1),
+        num_max_vals=2, cov_impl="pallas")
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=117.0, freq_norm=0.0,
+                    bandwidth_norm=0.5)],
+        8, 0.5, 16 * 1024, snr_db=12, seed=7,
+        fractional_bw=0.1).astype(np.complex64)
+    mesh = make_mesh(MeshSpec(4, 2))
+    pipe_k = build_sharded_pipeline(
+        dataclasses.replace(cfg, wb_fusion_impl="pallas"), mesh)
+    assert pipe_k.fast
+    out_k = pipe_k(x)
+    out_v = build_sharded_pipeline(
+        dataclasses.replace(cfg, wb_fusion_impl="xla"), mesh)(x)
+    np.testing.assert_allclose(np.asarray(out_k["spectrum_music"]),
+                               np.asarray(out_v["spectrum_music"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_k["peak_angles_music"]),
+        np.asarray(out_v["peak_angles_music"]), atol=5e-3)
+    ref = build_pipeline_tpu(cfg)(x)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out_k["peak_angles_music"]), -1),
+        np.sort(np.asarray(ref.peak_angles["music"]), -1), atol=0.05)
