@@ -127,6 +127,17 @@ class WidebandSpec:
         compose with). Gains over incoherent fusion at low SNR (noise
         averages coherently across the band) and for correlated
         broadband sources.
+      * "cssm_auto": two-pass CSSM — a coarse incoherent pass picks
+        runtime focusing directions (on-device Newton-Schulz polar),
+        then the coherent fusion above. No prior angle knowledge.
+      * "tops": Test of Orthogonality of Projected Subspaces
+        (ops/tops.py) — focusing-free coherent use of the band: the
+        reference subband's signal subspace is carried to every band
+        by the diagonal manifold transform and tested against each
+        band's noise subspace; spectrum = 1/σ_min of the stacked
+        projections. Needs no focusing angles OR preliminary
+        estimates; meaningful when fractional_bw > 0 (at 0 every
+        band shares one manifold and the transform is the identity).
     """
 
     num_subbands: int = 1
@@ -140,6 +151,13 @@ class WidebandSpec:
     # rank, estimate-free focusing; see ops.wideband.focusing_directions
     # for the measured J sweep).
     num_focus_angles: int = 0
+    # Reference subband for fusion="tops" (whose signal subspace is
+    # transported across the band). MUST hold signal energy — a
+    # noise-only bin transports a noise subspace and the test
+    # degenerates (classic choice: the highest-SNR bin). Config-static
+    # so the subband scan stays loop-free; default 0 = DC, in-band for
+    # baseband-centered scenes.
+    tops_ref_band: int = 0
 
     @property
     def enabled(self) -> bool:
@@ -388,10 +406,22 @@ class DoaConfig:
         if self.subspace_escalate_capacity < 1:
             raise ValueError("subspace_escalate_capacity must be >= 1")
         if self.wideband.fusion not in ("incoherent", "cssm",
-                                        "cssm_auto"):
+                                        "cssm_auto", "tops"):
             raise ValueError(
                 f"wideband.fusion {self.wideband.fusion!r} not "
-                "'incoherent' | 'cssm' | 'cssm_auto'")
+                "'incoherent' | 'cssm' | 'cssm_auto' | 'tops'")
+        if self.wideband.fusion == "tops":
+            if not (0 <= self.wideband.tops_ref_band
+                    < max(self.wideband.num_subbands, 1)):
+                raise ValueError(
+                    "wideband.tops_ref_band must index a subband "
+                    f"(got {self.wideband.tops_ref_band} with "
+                    f"{self.wideband.num_subbands} subbands)")
+            if self.scan_mode == "hierarchical":
+                raise ValueError(
+                    "fusion='tops' has no hierarchical scan (the "
+                    "orthogonality metric is grid-pointwise); use "
+                    "scan_mode 'auto'/'dense'")
         if (self.wideband.fusion == "cssm_auto"
                 and self.geometry.kind == "ura" and self.grid2d is None):
             raise ValueError(

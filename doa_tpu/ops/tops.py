@@ -1,0 +1,142 @@
+"""TOPS wideband DoA — Test of Orthogonality of Projected Subspaces.
+
+Third wideband fusion mode alongside the incoherent spectrum mean and
+coherent CSSM (ops/wideband.py). TOPS needs NO focusing matrices and no
+preliminary angle estimates (CSSM's classical weakness) yet still uses
+the whole band coherently — through subspace geometry instead of
+spectrum averaging. Reference algorithm: Yoon, Kaplan & McClellan,
+"TOPS: New DOA Estimator for Wideband Signals", IEEE Trans. SP 54(6),
+2006. No upstream equivalent (SURVEY.md §0 — gr-doa is narrowband-
+only); this rounds out the wideband family the way ESPRIT rounds out
+the narrowband one. Conventions pinned by tests/golden.py::tops_spectrum.
+
+Math (window b, candidate angle θ; reference subband r):
+
+  * S_f: complex signal subspace of subband f (N×K, orthonormal
+    columns — ops/esprit.signal_subspace_cpx, the complex-paired
+    iteration; the embedded real bases of the production power path
+    are deliberately NOT complex-paired).
+  * Φ_f(θ) = diag_n exp(−j·2π·(s_f − s_r)·⟨pos_n, u(θ)⟩) carries the
+    reference band's manifold to band f's: Φ_f(θ)·a_r(θ) = a_f(θ).
+    Every steering entry is a unit phasor, so
+        Φ_f(θ) = A_f(θ) ⊙ conj(A_r(θ))
+    — exactly the per-subband steering stack the incoherent path
+    already ships, which makes the transform geometry-agnostic (ULA
+    and URA alike; 1-D and 2-D grids).
+  * U_f(θ) = Φ_f(θ)·S_r. At the true DoA U_f falls inside band f's
+    signal subspace, so its projection onto band f's NOISE subspace
+    vanishes.
+  * Projection correction (the paper's error-reduction step):
+    U'_f = (I − â_f â_fᴴ)·U_f with â = a/‖a‖ deflates the component
+    along the candidate steering vector, which finite-sample subspace
+    error otherwise leaks coherently into every band.
+  * D(θ) = [W_1ᴴU'_1 | …] stacks the noise-subspace images of all
+    non-reference bands (W_f = noise basis). TOPS spectrum
+    P(θ) = 1/σ_min(D); D drops rank exactly at source DoAs.
+
+Implementation: σ_min²(D) = λ_min(M) with the K×K Hermitian
+
+    M(θ) = Σ_{f≠r} U'ᴴ_f (I − S_f S_fᴴ) U'_f
+         = (F−1)·(I − vᴴv) − Σ_{f≠r} C_fᴴ C_f,
+
+where v = â_rᴴ S_r (per-θ row, f-independent: â_fᴴΦ_f = â_rᴴ because
+the phasors cancel) and C_f = S_fᴴU_f − (S_fᴴâ_f)(â_fᴴU_f). Everything
+is three element-axis einsums per band inside one lax.scan over
+subbands — (G, B, K, K) accumulator, no per-angle control flow, no
+(F, G, B, N) intermediates. λ_min runs on the 2K×2K real Hermitian
+embedding via the batched MXU Jacobi rotor (ops/jacobi.py), so the
+whole estimator is complex-free-backend safe and eig-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from doa_tpu.cpx import Cpx, einsum as cpx_einsum, embed_hermitian
+from doa_tpu.ops.jacobi import eigh_jacobi
+
+
+def _outer_last(a: Cpx, b: Cpx) -> Cpx:
+    """conj(a)[..., k] · b[..., l] → (..., k, l) (elementwise outer)."""
+    ac = a.conj()
+    return Cpx(ac.re[..., :, None], ac.im[..., :, None]) * Cpx(
+        b.re[..., None, :], b.im[..., None, :])
+
+
+def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
+                      jacobi_sweeps: int = 8):
+    """S_sub: Cpx[F, B, N, K] per-subband orthonormal signal subspaces,
+    A_stack: Cpx[F, G, N] per-subband steering → TOPS pseudospectrum
+    f32[B, G], max-normalized per window.
+
+    ref_band selects the reference subband r (the band whose subspace
+    is transported across the band; the classic choice is the
+    highest-SNR bin — config-static here so the scan stays loop-free).
+    """
+    F, B, N, K = S_sub.shape
+    G = A_stack.shape[1]
+    inv_sqrt_n = 1.0 / (N ** 0.5)
+    A_ref = A_stack[ref_band] * inv_sqrt_n               # â_r: (G, N)
+    S_ref = S_sub[ref_band]                              # (B, N, K)
+
+    # v[g, b, l] = â_rᴴ S_r — the f-independent steering leakage row.
+    v = cpx_einsum("gn,bnl->gbl", A_ref.conj(), S_ref)
+    vv = _outer_last(v, v)                               # (G, B, K, K)
+
+    def step(acc, xs):
+        sr, si, ar, ai, w = xs
+        S_f = Cpx(sr, si)                                # (B, N, K)
+        A_f = Cpx(ar, ai) * inv_sqrt_n                   # â_f: (G, N)
+        # Φ_f = A_f ⊙ conj(A_r): entrywise product of unit phasors —
+        # itself unit-modulus, so no normalization enters Φ.
+        Phi = Cpx(ar, ai) * A_stack[ref_band].conj()     # (G, N)
+        # D2[b, k, l, n] = conj(S_f)[b, n, k] · S_r[b, n, l]
+        D2t = _outer_last(S_f, S_ref).transpose(0, 2, 3, 1)
+        # C0[g, b, k, l] = Σ_n Φ[g, n]·conj(S_f)[b,n,k]·S_r[b,n,l]
+        C0 = cpx_einsum("gn,bkln->gbkl", Phi, D2t)
+        # r[g, b, k] = S_fᴴâ_f leakage: Σ_n conj(S_f[b,n,k])·â_f[g,n]
+        r = cpx_einsum("gn,bnk->gbk", A_f, S_f.conj())
+        # C = S_fᴴU − (S_fᴴâ_f)(â_fᴴU);  â_fᴴU = â_rᴴS_r = v.
+        rv = Cpx(r.re[..., :, None], r.im[..., :, None]) * Cpx(
+            v.re[..., None, :], v.im[..., None, :])
+        C = C0 - rv
+        CC = cpx_einsum("gbkl,gbkm->gblm", C.conj(), C)
+        return (acc[0] + w * CC.re, acc[1] + w * CC.im), None
+
+    w_band = (jnp.arange(F) != ref_band).astype(jnp.float32)
+    acc0 = (jnp.zeros((G, B, K, K), jnp.float32),
+            jnp.zeros((G, B, K, K), jnp.float32))
+    xs = (S_sub.re, S_sub.im, A_stack.re, A_stack.im, w_band)
+    (ccr, cci), _ = jax.lax.scan(step, acc0, xs)
+
+    eyeK = jnp.eye(K, dtype=jnp.float32)
+    nb = float(F - 1)
+    M = Cpx(nb * (eyeK - vv.re) - ccr, nb * (-vv.im) - cci)
+    E = embed_hermitian(M)                               # (G, B, 2K, 2K)
+    E = 0.5 * (E + jnp.swapaxes(E, -1, -2))
+    lam_min = eigh_jacobi(E, sweeps=jacobi_sweeps)[0][..., 0]
+    P = 1.0 / jnp.maximum(lam_min, jnp.finfo(jnp.float32).tiny)
+    P = jnp.swapaxes(P, 0, 1)                            # (B, G)
+    return P / jnp.max(P, axis=-1, keepdims=True)
+
+
+def wideband_tops_cpx(x: Cpx | None, A_stack: Cpx, W: Cpx | None, cfg,
+                      E_sub=None):
+    """Stream-level TOPS: x Cpx[T, N] (or pre-embedded subband windows
+    E_sub f32[F, B, 2N, 2N] from the Pallas wideband front-end) →
+    f32[B, G]. Mirrors wideband_music_cpx's calling convention so the
+    pipeline dispatch is symmetric across fusion modes."""
+    from doa_tpu.cpx import unembed_hermitian
+    from doa_tpu.ops.esprit import signal_subspace_cpx
+    from doa_tpu.ops.wideband import subband_covariances
+
+    R_sub = (unembed_hermitian(E_sub) if E_sub is not None
+             else subband_covariances(x, W, cfg))        # (F, B, N, N)
+    F, B, N, _ = R_sub.shape
+    K = cfg.num_sources
+    S = signal_subspace_cpx(R_sub.reshape(F * B, N, N), K,
+                            iters=max(cfg.power_iters, 16))
+    S_sub = S.reshape(F, B, N, K)
+    return tops_spectrum_cpx(S_sub, A_stack,
+                             ref_band=cfg.wideband.tops_ref_band)

@@ -100,6 +100,8 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
     wb = cfg.wideband.enabled
     wb_cssm = wb and cfg.wideband.fusion == "cssm"
     wb_auto = wb and cfg.wideband.fusion == "cssm_auto"
+    wb_tops = wb and cfg.wideband.fusion == "tops"
+    wb_key = "tops" if wb_tops else "music"
     if wb:
         from doa_tpu.ops.wideband import (
             dft_matrix, focusing_matrices, wideband_steering_stack)
@@ -517,7 +519,13 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             spectra, pvals, pangs = {}, {}, {}
             x = Cpx(xr, xi) * Cpx(cr[None, :], ci[None, :])
             Wr, Wi, Asr, Asi = wb_extra
-            if scan_mode == "hierarchical" and use_power:
+            if wb_tops:
+                from doa_tpu.ops.tops import wideband_tops_cpx
+                P = wideband_tops_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi),
+                                      cfg)
+                v, l = _peaks(P)
+                spectra[wb_key] = P
+            elif scan_mode == "hierarchical" and use_power:
                 v, l = wideband_music_hierarchical_cpx(
                     x, Cpx(Asr, Asi), Cpx(Wr, Wi), cfg,
                     cfg.num_max_vals, x_rng=x_rng,
@@ -526,9 +534,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
                 P = wideband_music_cpx(x, Cpx(Asr, Asi), Cpx(Wr, Wi),
                                        cfg)
                 v, l = _peaks(P)
-                spectra["music"] = P
-            pvals["music"] = v
-            pangs["music"] = l
+                spectra[wb_key] = P
+            pvals[wb_key] = v
+            pangs[wb_key] = l
             return dict(spectra=spectra, peak_values=pvals,
                         peak_angles=pangs, root_music_angles=None,
                         esprit_angles=None, covariance=None,
@@ -590,7 +598,13 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
         from doa_tpu.ops.wideband import (
             wideband_music_cpx, wideband_music_hierarchical_cpx)
         spectra, pvals, pangs = {}, {}, {}
-        if scan_mode == "hierarchical" and use_power:
+        if wb_tops:
+            from doa_tpu.ops.tops import wideband_tops_cpx
+            P = wideband_tops_cpx(None, Cpx(Xr, Xi), None, cfg,
+                                  E_sub=E_sub)
+            v, l = _peaks(P)
+            spectra[wb_key] = P
+        elif scan_mode == "hierarchical" and use_power:
             v, l = wideband_music_hierarchical_cpx(
                 None, Cpx(Xr, Xi), None, cfg, cfg.num_max_vals,
                 x_rng=x_rng, grid2d=cfg.grid2d if is_2d else None,
@@ -599,9 +613,9 @@ def build_pipeline_tpu(cfg: DoaConfig, refine_peaks: bool = True,
             P = wideband_music_cpx(None, Cpx(Xr, Xi), None, cfg,
                                    E_sub=E_sub)
             v, l = _peaks(P)
-            spectra["music"] = P
-        pvals["music"] = v
-        pangs["music"] = l
+            spectra[wb_key] = P
+        pvals[wb_key] = v
+        pangs[wb_key] = l
         return dict(spectra=spectra, peak_values=pvals,
                     peak_angles=pangs, root_music_angles=None,
                     esprit_angles=None, covariance=None,

@@ -314,6 +314,52 @@ def find_local_max(P, num_max_vals: int, x_min: float, x_max: float):
 
 
 # ---------------------------------------------------------------------------
+# Wideband TOPS (Yoon/Kaplan/McClellan 2006) — textbook formulation
+# ---------------------------------------------------------------------------
+
+def tops_spectrum(R_sub, A_stack, num_sources: int, ref_band: int = 0,
+                  normalize: bool = True):
+    """Reference TOPS pseudospectrum, straight from the paper's matrices
+    (loops over windows/angles/bands — the device path's scan/einsum
+    algebra must match this to f32 accuracy).
+
+    R_sub: (F, B, N, N) per-subband covariances; A_stack: (F, G, N)
+    per-subband steering → P: (B, G) float64.
+
+    Per (b, θ): U_f = Φ_f(θ)·S_r with Φ_f = diag(a_f(θ) ⊙ conj(a_r(θ)))
+    (the diagonal manifold transform), projection-corrected
+    U'_f = (I − â_fâ_fᴴ)U_f, D = [W_1ᴴU'_1 | …] over non-reference
+    bands (W_f = noise subspace), P = 1/σ_min(D)."""
+    R_sub = np.asarray(R_sub)
+    A_stack = np.asarray(A_stack)
+    F, B, N, _ = R_sub.shape
+    K = num_sources
+    _, v = np.linalg.eigh(R_sub)
+    S = v[..., :, N - K:]                       # (F, B, N, K) signal
+    Wn = v[..., :, : N - K]                     # (F, B, N, N-K) noise
+    G = A_stack.shape[1]
+    A_r = A_stack[ref_band]
+    P = np.zeros((B, G))
+    for b in range(B):
+        for g in range(G):
+            rows = []
+            for f in range(F):
+                if f == ref_band:
+                    continue
+                phi = A_stack[f, g] * np.conj(A_r[g])
+                U = phi[:, None] * S[ref_band, b]          # (N, K)
+                ah = A_stack[f, g] / np.linalg.norm(A_stack[f, g])
+                Up = U - np.outer(ah, ah.conj() @ U)
+                rows.append(Wn[f, b].conj().T @ Up)        # (N-K, K)
+            D = np.concatenate(rows, axis=0)
+            smin = np.linalg.svd(D, compute_uv=False)[-1]
+            P[b, g] = 1.0 / max(smin ** 2, np.finfo(np.float64).tiny)
+    if normalize:
+        P = P / P.max(axis=-1, keepdims=True)
+    return P
+
+
+# ---------------------------------------------------------------------------
 # Calibration
 # ---------------------------------------------------------------------------
 
