@@ -64,25 +64,26 @@ def _outer_last(a: Cpx, b: Cpx) -> Cpx:
         b.re[..., None, :], b.im[..., None, :])
 
 
-def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
-                      jacobi_sweeps: int = 8):
-    """S_sub: Cpx[F, B, N, K] per-subband orthonormal signal subspaces,
-    A_stack: Cpx[F, G, N] per-subband steering → TOPS pseudospectrum
-    f32[B, G], max-normalized per window.
+def tops_leakage_row(A_ref: Cpx, S_ref: Cpx) -> Cpx:
+    """v[g, b, l] = â_rᴴ S_r — the band-independent steering-leakage
+    row (â_fᴴΦ_f = â_rᴴ: the unit phasors cancel). A_ref: (G, N)
+    UNNORMALIZED reference steering; S_ref: (B, N, K)."""
+    inv_sqrt_n = 1.0 / (A_ref.shape[-1] ** 0.5)
+    return cpx_einsum("gn,bnl->gbl", A_ref.conj() * inv_sqrt_n, S_ref)
 
-    ref_band selects the reference subband r (the band whose subspace
-    is transported across the band; the classic choice is the
-    highest-SNR bin — config-static here so the scan stays loop-free).
-    """
-    F, B, N, K = S_sub.shape
-    G = A_stack.shape[1]
+
+def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
+                       S_ref: Cpx, v: Cpx, w_bands):
+    """Σ_f w_f·C_fᴴC_f over the given bands (a lax.scan; the sharded
+    EP path calls this with each device's LOCAL band slice and psums
+    the result). S_bands: Cpx[Fl, B, N, K]; A_bands: Cpx[Fl, G, N];
+    A_ref: (G, N) unnormalized; v from tops_leakage_row;
+    w_bands: f32[Fl] 0/1 mask (0 on the reference band itself).
+    → (ccr, cci) f32[G, B, K, K] planes."""
+    Fl, B, N, K = S_bands.shape
+    G = A_bands.shape[1]
     inv_sqrt_n = 1.0 / (N ** 0.5)
-    A_ref = A_stack[ref_band] * inv_sqrt_n               # â_r: (G, N)
-    S_ref = S_sub[ref_band]                              # (B, N, K)
-
-    # v[g, b, l] = â_rᴴ S_r — the f-independent steering leakage row.
-    v = cpx_einsum("gn,bnl->gbl", A_ref.conj(), S_ref)
-    vv = _outer_last(v, v)                               # (G, B, K, K)
+    A_ref_c = A_ref.conj()
 
     def step(acc, xs):
         sr, si, ar, ai, w = xs
@@ -90,7 +91,7 @@ def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
         A_f = Cpx(ar, ai) * inv_sqrt_n                   # â_f: (G, N)
         # Φ_f = A_f ⊙ conj(A_r): entrywise product of unit phasors —
         # itself unit-modulus, so no normalization enters Φ.
-        Phi = Cpx(ar, ai) * A_stack[ref_band].conj()     # (G, N)
+        Phi = Cpx(ar, ai) * A_ref_c                      # (G, N)
         # D2[b, k, l, n] = conj(S_f)[b, n, k] · S_r[b, n, l]
         D2t = _outer_last(S_f, S_ref).transpose(0, 2, 3, 1)
         # C0[g, b, k, l] = Σ_n Φ[g, n]·conj(S_f)[b,n,k]·S_r[b,n,l]
@@ -104,14 +105,23 @@ def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
         CC = cpx_einsum("gbkl,gbkm->gblm", C.conj(), C)
         return (acc[0] + w * CC.re, acc[1] + w * CC.im), None
 
-    w_band = (jnp.arange(F) != ref_band).astype(jnp.float32)
     acc0 = (jnp.zeros((G, B, K, K), jnp.float32),
             jnp.zeros((G, B, K, K), jnp.float32))
-    xs = (S_sub.re, S_sub.im, A_stack.re, A_stack.im, w_band)
+    xs = (S_bands.re, S_bands.im, A_bands.re, A_bands.im,
+          jnp.asarray(w_bands, jnp.float32))
     (ccr, cci), _ = jax.lax.scan(step, acc0, xs)
+    return ccr, cci
 
+
+def tops_finalize(ccr, cci, v: Cpx, num_bands: int,
+                  jacobi_sweeps: int = 8):
+    """(Σ CᴴC planes, leakage row v, total band count F) →
+    max-normalized TOPS spectrum f32[B, G]:
+    M = (F−1)·(I − vᴴv) − ΣCᴴC, P = 1/λ_min(M)."""
+    K = ccr.shape[-1]
+    vv = _outer_last(v, v)                               # (G, B, K, K)
     eyeK = jnp.eye(K, dtype=jnp.float32)
-    nb = float(F - 1)
+    nb = float(num_bands - 1)
     M = Cpx(nb * (eyeK - vv.re) - ccr, nb * (-vv.im) - cci)
     E = embed_hermitian(M)                               # (G, B, 2K, 2K)
     E = 0.5 * (E + jnp.swapaxes(E, -1, -2))
@@ -119,6 +129,26 @@ def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
     P = 1.0 / jnp.maximum(lam_min, jnp.finfo(jnp.float32).tiny)
     P = jnp.swapaxes(P, 0, 1)                            # (B, G)
     return P / jnp.max(P, axis=-1, keepdims=True)
+
+
+def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
+                      jacobi_sweeps: int = 8):
+    """S_sub: Cpx[F, B, N, K] per-subband orthonormal signal subspaces,
+    A_stack: Cpx[F, G, N] per-subband steering → TOPS pseudospectrum
+    f32[B, G], max-normalized per window.
+
+    ref_band selects the reference subband r (the band whose subspace
+    is transported across the band; the classic choice is the
+    highest-SNR bin — config-static here so the scan stays loop-free).
+    """
+    F = S_sub.shape[0]
+    A_ref = A_stack[ref_band]                            # (G, N) raw
+    S_ref = S_sub[ref_band]                              # (B, N, K)
+    v = tops_leakage_row(A_ref, S_ref)
+    w_band = (jnp.arange(F) != ref_band).astype(jnp.float32)
+    ccr, cci = tops_accumulate_cc(S_sub, A_stack, A_ref, S_ref, v,
+                                  w_band)
+    return tops_finalize(ccr, cci, v, F, jacobi_sweeps=jacobi_sweeps)
 
 
 def wideband_tops_cpx(x: Cpx | None, A_stack: Cpx, W: Cpx | None, cfg,

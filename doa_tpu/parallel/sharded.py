@@ -700,6 +700,9 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
     if cfg.wideband.fusion in ("cssm", "cssm_auto"):
         return _build_sharded_cssm(cfg, mesh, refine_peaks,
                                    return_spectra)
+    if cfg.wideband.fusion == "tops":
+        return _build_sharded_tops(cfg, mesh, refine_peaks,
+                                   return_spectra)
     from doa_tpu.ops.wideband import (
         dft_matrix, wideband_steering_stack)
     from doa_tpu.pipeline import _steering_fn
@@ -960,6 +963,159 @@ def _build_sharded_wideband(cfg: DoaConfig, mesh: Mesh,
     call.jitted = jitted
     call.mesh = mesh
     call.fast = fast
+    return call
+
+
+def _build_sharded_tops(cfg: DoaConfig, mesh: Mesh,
+                        refine_peaks: bool = True,
+                        return_spectra: bool = True):
+    """EP-sharded TOPS (fusion="tops", ops/tops.py).
+
+    Sharding structure: the subband axis is the EP axis (like the
+    incoherent builder), the snapshot batch follows the time axis.
+    Each device channelizes its local time block (all F bands fall out
+    of the frame-DFT at once), keeps its F_loc slice for the expensive
+    per-band subspace iteration, and REPLICATES the reference band's
+    covariance + subspace (tiny: one band, and it avoids any subspace
+    broadcast over ICI). The fusion point is ONE psum of the
+    (G, B_loc, K, K) Σ CᴴC accumulator over the EP axis — the TOPS
+    analog of the incoherent path's spectrum-sum psum — after which
+    every device finalizes λ_min and extracts peaks on its local
+    window batch. The reference steering row A_r (G, N) rides in
+    replicated so the manifold transform Φ_f = A_f ⊙ conj(A_r) needs
+    no cross-shard gather."""
+    from doa_tpu.ops.tops import (
+        tops_accumulate_cc, tops_finalize, tops_leakage_row)
+    from doa_tpu.ops.wideband import (
+        channelize_cpx, dft_matrix, wideband_steering_stack)
+    from doa_tpu.pipeline import _steering_fn
+
+    A_host, x_rng = _steering_matrix(cfg)
+    F = cfg.wideband.num_subbands
+    S = cfg.snapshot_size
+    if S % F:
+        raise ValueError("snapshot_size must be divisible by subbands")
+    S_sub = S // F
+    hop_sub = max(S_sub - cfg.overlap // F, 1)
+    n_ep = mesh.shape[GRID_AXIS]
+    if F % n_ep:
+        raise ValueError(f"subbands {F} not divisible by EP axis {n_ep}")
+    F_loc = F // n_ep
+    K = cfg.num_sources
+    ref = cfg.wideband.tops_ref_band
+    sub_iters = max(cfg.power_iters, 16)
+    is_2d = cfg.grid2d is not None and cfg.geometry.kind == "ura"
+    W_host = dft_matrix(F)
+    A_stack = wideband_steering_stack(cfg, _steering_fn(cfg))
+
+    def _peaks(P_full):
+        if is_2d:
+            from doa_tpu.ops.peaks import find_local_max_2d
+
+            g2 = cfg.grid2d
+            P2 = P_full.reshape(P_full.shape[0], g2.num_az, g2.num_el)
+            v, az, el = find_local_max_2d(
+                P2, cfg.num_max_vals,
+                (g2.az_lo_deg, g2.az_hi_deg),
+                (g2.el_lo_deg, g2.el_hi_deg), refine=refine_peaks)
+            return v, jnp.stack([az, el], axis=-1)
+        return find_local_max(P_full, cfg.num_max_vals, x_rng[0],
+                              x_rng[1], refine=refine_peaks)
+
+    def shard_fn(xr, xi, cr, ci, Wr, Wi, Asr, Asi, Arr, Ari):
+        from doa_tpu.ops.esprit import signal_subspace_cpx
+
+        ep = jax.lax.axis_index(GRID_AXIS)
+        xs = channelize_cpx(Cpx(xr, xi), Cpx(Wr, Wi))   # (F, M_loc, N)
+
+        def cov_one(sub):
+            return cpx_ops.cov_from_stream_cpx(
+                sub, S_sub, S_sub - hop_sub, fb_average=False)
+
+        corr = Cpx(cr, ci)
+        # reference band: replicated per-device compute (one band)
+        R_ref = cpx_ops.apply_correction_to_cov(
+            cov_one(xs[ref]), corr)                     # (B, N, N)
+        S_ref = signal_subspace_cpx(R_ref, K, iters=sub_iters)
+        # local bands: the expensive per-band work
+        xs_loc = Cpx(
+            jax.lax.dynamic_slice_in_dim(xs.re, ep * F_loc, F_loc),
+            jax.lax.dynamic_slice_in_dim(xs.im, ep * F_loc, F_loc))
+        R_loc = cpx_ops.apply_correction_to_cov(
+            jax.vmap(cov_one)(xs_loc), corr)            # (F_loc,B,N,N)
+        B, N = R_loc.shape[1], R_loc.shape[-1]
+        S_loc = signal_subspace_cpx(
+            R_loc.reshape(F_loc * B, N, N), K,
+            iters=sub_iters).reshape(F_loc, B, N, K)
+        A_ref = Cpx(Arr, Ari)                           # (G, N) replic.
+        v = tops_leakage_row(A_ref, S_ref)
+        w = (ep * F_loc + jnp.arange(F_loc) != ref).astype(jnp.float32)
+        ccr, cci = tops_accumulate_cc(
+            S_loc, Cpx(Asr, Asi), A_ref, S_ref, v, w)
+        ccr = jax.lax.psum(ccr, GRID_AXIS)
+        cci = jax.lax.psum(cci, GRID_AXIS)
+        P_full = tops_finalize(ccr, cci, v, F)
+        pv, pl = _peaks(P_full)
+        out = {"peak_values_tops": pv, "peak_angles_tops": pl}
+        if return_spectra:
+            out["spectrum_tops"] = P_full
+        return out
+
+    out_specs = {"peak_values_tops": P(SNAP_AXIS, None),
+                 "peak_angles_tops": P(SNAP_AXIS, None)}
+    if return_spectra:
+        out_specs["spectrum_tops"] = P(SNAP_AXIS, None)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(SNAP_AXIS, None), P(SNAP_AXIS, None), P(), P(),
+                  P(), P(), P(GRID_AXIS, None, None),
+                  P(GRID_AXIS, None, None), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    jitted = jax.jit(f32_matmuls(mapped))
+
+    A_sh = NamedSharding(mesh, P(GRID_AXIS, None, None))
+    Asr_d = jax.device_put(
+        np.ascontiguousarray(A_stack.real.astype(np.float32)), A_sh)
+    Asi_d = jax.device_put(
+        np.ascontiguousarray(A_stack.imag.astype(np.float32)), A_sh)
+    Arr_d = jax.device_put(
+        np.ascontiguousarray(A_stack[ref].real.astype(np.float32)))
+    Ari_d = jax.device_put(
+        np.ascontiguousarray(A_stack[ref].imag.astype(np.float32)))
+    Wr_d = jax.device_put(W_host.real.astype(np.float32))
+    Wi_d = jax.device_put(W_host.imag.astype(np.float32))
+
+    def call(x, correction=None):
+        n_snap = mesh.shape[SNAP_AXIS]
+        if isinstance(x, Cpx):
+            xr_h, xi_h = np.asarray(x.re), np.asarray(x.im)
+        else:
+            from doa_tpu.io.native import split_c64
+            xr_h, xi_h = split_c64(np.asarray(x))
+        T = xr_h.shape[0]
+        if T % (n_snap * S):
+            raise ValueError(
+                f"T={T} must be divisible by n_snap*S={n_snap * S} on "
+                "the wideband EP path")
+        x_sh = NamedSharding(mesh, P(SNAP_AXIS, None))
+        xr = jax.device_put(xr_h, x_sh)
+        xi = jax.device_put(xi_h, x_sh)
+        N = xr_h.shape[1]
+        if correction is None:
+            cr = jnp.ones((N,), jnp.float32)
+            ci = jnp.zeros((N,), jnp.float32)
+        else:
+            c = np.asarray(correction)
+            cr = jnp.asarray(c.real.astype(np.float32))
+            ci = jnp.asarray(c.imag.astype(np.float32))
+        return jitted(xr, xi, cr, ci, Wr_d, Wi_d, Asr_d, Asi_d,
+                      Arr_d, Ari_d)
+
+    call.jitted = jitted
+    call.mesh = mesh
+    call.fast = False
     return call
 
 

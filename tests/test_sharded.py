@@ -509,3 +509,43 @@ def test_sharded_wideband_peaks_only_mode():
         np.testing.assert_allclose(
             np.asarray(lean["peak_angles_music"]),
             np.asarray(full["peak_angles_music"]), atol=1e-5)
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(4, 2), MeshSpec(2, 4)])
+def test_sharded_wideband_tops_parity(spec):
+    """EP-sharded TOPS (one psum of the (G, B, K, K) CC accumulator
+    over the subband axis; replicated reference-band subspace) must
+    match the single-device fusion='tops' pipeline."""
+    from doa_tpu.configs import WidebandSpec
+    from doa_tpu.io.synthetic import synth_wideband_ula_iq
+
+    cfg = DoaConfig(
+        geometry=ArrayGeometry(kind="ula", num_elements=8,
+                               norm_spacing=0.5),
+        snapshot_size=256, num_sources=2,
+        estimators=(Estimator.MUSIC,),
+        grid=GridSpec1D(num_points=128),
+        wideband=WidebandSpec(num_subbands=8, fractional_bw=0.4,
+                              fusion="tops"),
+        num_max_vals=2)
+    x = synth_wideband_ula_iq(
+        [SourceSpec(theta_deg=62.0, freq_norm=0.0, bandwidth_norm=0.5),
+         SourceSpec(theta_deg=117.0, freq_norm=0.0, bandwidth_norm=0.5)],
+        8, 0.5, 16 * 1024, snr_db=12, seed=7, fractional_bw=0.4)
+    mesh = make_mesh(spec)
+    out = build_sharded_pipeline(cfg, mesh)(x)
+    ref = build_pipeline_tpu(cfg)(x)
+    P_s = np.asarray(out["spectrum_tops"])
+    P_r = np.asarray(ref.spectra["tops"])
+    assert P_s.shape == P_r.shape
+    np.testing.assert_allclose(P_s, P_r, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["peak_angles_tops"]), -1),
+        np.sort(np.asarray(ref.peak_angles["tops"]), -1), atol=0.05)
+    # and the lean streaming shape drops the spectrum without moving
+    # the peaks
+    lean = build_sharded_pipeline(cfg, mesh, return_spectra=False)(x)
+    assert not any(k.startswith("spectrum") for k in lean)
+    np.testing.assert_allclose(
+        np.asarray(lean["peak_angles_tops"]),
+        np.asarray(out["peak_angles_tops"]), atol=1e-5)

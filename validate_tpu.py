@@ -89,3 +89,24 @@ ang = np.asarray(r.peak_angles["music"])          # (B, k, 2) az/el
 order = np.argsort(ang[..., 0], axis=-1)          # pair-sort by az per
 ang = np.take_along_axis(ang, order[..., None], 1)  # window before mean
 log(f"c5 music az/el: {ang.mean(0)} truth [(-20,30),(35,60)]")
+
+# TOPS wideband fusion (r5, ops/tops.py) — hardware precision pin for
+# the new compute path: Cpx einsums at the pipeline's tf32 ambient +
+# the embedded Jacobi lambda_min. CPU tests are exact f32 and cannot
+# catch an MXU-precision regression here.
+from doa_tpu.configs import WidebandSpec
+from doa_tpu.io.synthetic import synth_wideband_ula_iq
+tops_cfg = DoaConfig(
+    geometry=ArrayGeometry(kind="ula", num_elements=16, norm_spacing=0.5),
+    snapshot_size=1024, num_sources=2, estimators=(Estimator.MUSIC,),
+    grid=GridSpec1D(num_points=361),
+    wideband=WidebandSpec(num_subbands=8, fractional_bw=0.4,
+                          fusion="tops"),
+    num_max_vals=2)
+x = synth_wideband_ula_iq(
+    [SourceSpec(theta_deg=60.0, freq_norm=0.0, bandwidth_norm=0.5),
+     SourceSpec(theta_deg=120.0, freq_norm=0.0, bandwidth_norm=0.5)],
+    16, 0.5, 32 * 1024, fractional_bw=0.4, snr_db=10, seed=8)
+r = build_pipeline_tpu(tops_cfg)(x)
+med = np.median(np.sort(np.asarray(r.peak_angles["tops"]), -1), 0)
+log(f"tops wideband: {med} truth [60 120]")
