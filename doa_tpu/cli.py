@@ -48,10 +48,11 @@ def _add_common(p):
                    help="power-iteration squaring schedule: speed vs "
                         "source-imbalance robustness (configs.DoaConfig)")
     p.add_argument("--wideband-fusion", default=None,
-                   choices=["incoherent", "cssm"],
+                   choices=["incoherent", "cssm", "cssm_auto", "tops"],
                    help="wideband subband fusion: incoherent spectrum "
-                        "mean or coherent CSSM focusing (grid-free "
-                        "wideband estimators)")
+                        "mean, coherent CSSM focusing (grid-free "
+                        "wideband estimators; cssm_auto picks focusing "
+                        "directions at runtime), or focusing-free TOPS")
 
 
 def _config(args):

@@ -138,6 +138,9 @@ class WidebandSpec:
         projections. Needs no focusing angles OR preliminary
         estimates; meaningful when fractional_bw > 0 (at 0 every
         band shares one manifold and the transform is the identity).
+        `tops_guard` (default on) suppresses the estimator's canonical
+        broadside false peak — docs/ACCURACY.md "Wideband fusion
+        modes" has the measured comparison table.
     """
 
     num_subbands: int = 1
@@ -158,6 +161,14 @@ class WidebandSpec:
     # so the subband scan stays loop-free; default 0 = DC, in-band for
     # baseband-centered scenes.
     tops_ref_band: int = 0
+    # Suppress TOPS's canonical transform-degeneracy false peak
+    # (broadside on a ULA, where Φ_f = I for every band) by gating the
+    # spectrum with the incoherent signal-subspace MUSIC spectrum
+    # accumulated in the same subband scan (near-free; measured at
+    # fbw 0.4 / 10 dB the ungated 90° ridge outranks a true peak in
+    # ~25% of windows — docs/ACCURACY.md "Wideband fusion modes").
+    # Off = the textbook estimator (golden.tops_spectrum).
+    tops_guard: bool = True
 
     @property
     def enabled(self) -> bool:

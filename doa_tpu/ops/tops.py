@@ -79,7 +79,10 @@ def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
     the result). S_bands: Cpx[Fl, B, N, K]; A_bands: Cpx[Fl, G, N];
     A_ref: (G, N) unnormalized; v from tops_leakage_row;
     w_bands: f32[Fl] 0/1 mask (0 on the reference band itself).
-    → (ccr, cci) f32[G, B, K, K] planes."""
+    → (ccr, cci, mus) — CC f32[G, B, K, K] planes plus the incoherent
+    MUSIC guard sum f32[G, B] (Σ over ALL local bands of the
+    max-normalized per-band signal-subspace MUSIC spectrum — free
+    here: its denominator 1 − ‖S_fᴴâ_f‖² reuses the r leakage term)."""
     Fl, B, N, K = S_bands.shape
     G = A_bands.shape[1]
     inv_sqrt_n = 1.0 / (N ** 0.5)
@@ -103,21 +106,34 @@ def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
             v.re[..., None, :], v.im[..., None, :])
         C = C0 - rv
         CC = cpx_einsum("gbkl,gbkm->gblm", C.conj(), C)
-        return (acc[0] + w * CC.re, acc[1] + w * CC.im), None
+        # incoherent-MUSIC guard term (ALL bands, weight 1):
+        # den = ‖(I − S_fS_fᴴ)â_f‖² = 1 − Σ_k |r|².
+        den = jnp.maximum(1.0 - jnp.sum(r.abs2(), axis=-1), 0.0)
+        Pf = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        Pf = Pf / jnp.max(Pf, axis=0, keepdims=True)     # (G, B)
+        return (acc[0] + w * CC.re, acc[1] + w * CC.im,
+                acc[2] + Pf), None
 
     acc0 = (jnp.zeros((G, B, K, K), jnp.float32),
-            jnp.zeros((G, B, K, K), jnp.float32))
+            jnp.zeros((G, B, K, K), jnp.float32),
+            jnp.zeros((G, B), jnp.float32))
     xs = (S_bands.re, S_bands.im, A_bands.re, A_bands.im,
           jnp.asarray(w_bands, jnp.float32))
-    (ccr, cci), _ = jax.lax.scan(step, acc0, xs)
-    return ccr, cci
+    (ccr, cci, mus), _ = jax.lax.scan(step, acc0, xs)
+    return ccr, cci, mus
 
 
 def tops_finalize(ccr, cci, v: Cpx, num_bands: int,
-                  jacobi_sweeps: int = 8):
+                  jacobi_sweeps: int = 8, guard=None):
     """(Σ CᴴC planes, leakage row v, total band count F) →
     max-normalized TOPS spectrum f32[B, G]:
-    M = (F−1)·(I − vᴴv) − ΣCᴴC, P = 1/λ_min(M)."""
+    M = (F−1)·(I − vᴴv) − ΣCᴴC, P = 1/λ_min(M).
+
+    guard: optional incoherent-MUSIC sum f32[G, B] (from
+    tops_accumulate_cc). When given, the returned spectrum is the
+    product of the TOPS and incoherent spectra (renormalized) — the
+    transform-degeneracy false-peak suppressor (see tops_spectrum_cpx).
+    """
     K = ccr.shape[-1]
     vv = _outer_last(v, v)                               # (G, B, K, K)
     eyeK = jnp.eye(K, dtype=jnp.float32)
@@ -127,12 +143,14 @@ def tops_finalize(ccr, cci, v: Cpx, num_bands: int,
     E = 0.5 * (E + jnp.swapaxes(E, -1, -2))
     lam_min = eigh_jacobi(E, sweeps=jacobi_sweeps)[0][..., 0]
     P = 1.0 / jnp.maximum(lam_min, jnp.finfo(jnp.float32).tiny)
+    if guard is not None:
+        P = P * (guard / float(num_bands))
     P = jnp.swapaxes(P, 0, 1)                            # (B, G)
     return P / jnp.max(P, axis=-1, keepdims=True)
 
 
 def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
-                      jacobi_sweeps: int = 8):
+                      jacobi_sweeps: int = 8, guard: bool = False):
     """S_sub: Cpx[F, B, N, K] per-subband orthonormal signal subspaces,
     A_stack: Cpx[F, G, N] per-subband steering → TOPS pseudospectrum
     f32[B, G], max-normalized per window.
@@ -140,15 +158,28 @@ def tops_spectrum_cpx(S_sub: Cpx, A_stack: Cpx, ref_band: int = 0,
     ref_band selects the reference subband r (the band whose subspace
     is transported across the band; the classic choice is the
     highest-SNR bin — config-static here so the scan stays loop-free).
-    """
+
+    guard: TOPS's canonical artifact is a FALSE PEAK where the manifold
+    transform degenerates to identity (broadside on a ULA: cosθ = 0 ⇒
+    Φ_f(θ) = I for every band, so D(θ) tests only cross-band subspace
+    consistency, which finite-sample subspace error can rank above the
+    true-angle nulls — measured: at fbw 0.4 / 10 dB the 90° ridge wins
+    in ~25% of windows, docs/ACCURACY.md). guard=True multiplies by the
+    incoherent signal-subspace MUSIC spectrum accumulated in the same
+    scan (near-free): the product suppresses the ridge (incoherent
+    MUSIC has a true null there) without masking genuine broadside
+    sources (both factors peak for those). Default False here (the
+    textbook estimator, golden-parity); the pipeline default is ON
+    (configs.WidebandSpec.tops_guard)."""
     F = S_sub.shape[0]
     A_ref = A_stack[ref_band]                            # (G, N) raw
     S_ref = S_sub[ref_band]                              # (B, N, K)
     v = tops_leakage_row(A_ref, S_ref)
     w_band = (jnp.arange(F) != ref_band).astype(jnp.float32)
-    ccr, cci = tops_accumulate_cc(S_sub, A_stack, A_ref, S_ref, v,
-                                  w_band)
-    return tops_finalize(ccr, cci, v, F, jacobi_sweeps=jacobi_sweeps)
+    ccr, cci, mus = tops_accumulate_cc(S_sub, A_stack, A_ref, S_ref,
+                                       v, w_band)
+    return tops_finalize(ccr, cci, v, F, jacobi_sweeps=jacobi_sweeps,
+                         guard=mus if guard else None)
 
 
 def wideband_tops_cpx(x: Cpx | None, A_stack: Cpx, W: Cpx | None, cfg,
@@ -169,4 +200,5 @@ def wideband_tops_cpx(x: Cpx | None, A_stack: Cpx, W: Cpx | None, cfg,
                             iters=max(cfg.power_iters, 16))
     S_sub = S.reshape(F, B, N, K)
     return tops_spectrum_cpx(S_sub, A_stack,
-                             ref_band=cfg.wideband.tops_ref_band)
+                             ref_band=cfg.wideband.tops_ref_band,
+                             guard=cfg.wideband.tops_guard)

@@ -1050,11 +1050,14 @@ def _build_sharded_tops(cfg: DoaConfig, mesh: Mesh,
         A_ref = Cpx(Arr, Ari)                           # (G, N) replic.
         v = tops_leakage_row(A_ref, S_ref)
         w = (ep * F_loc + jnp.arange(F_loc) != ref).astype(jnp.float32)
-        ccr, cci = tops_accumulate_cc(
+        ccr, cci, mus = tops_accumulate_cc(
             S_loc, Cpx(Asr, Asi), A_ref, S_ref, v, w)
         ccr = jax.lax.psum(ccr, GRID_AXIS)
         cci = jax.lax.psum(cci, GRID_AXIS)
-        P_full = tops_finalize(ccr, cci, v, F)
+        mus = jax.lax.psum(mus, GRID_AXIS)
+        P_full = tops_finalize(
+            ccr, cci, v, F,
+            guard=mus if cfg.wideband.tops_guard else None)
         pv, pl = _peaks(P_full)
         out = {"peak_values_tops": pv, "peak_angles_tops": pl}
         if return_spectra:
