@@ -42,10 +42,13 @@ Implementation: σ_min²(D) = λ_min(M) with the K×K Hermitian
 where v = â_rᴴ S_r (per-θ row, f-independent: â_fᴴΦ_f = â_rᴴ because
 the phasors cancel) and C_f = S_fᴴU_f − (S_fᴴâ_f)(â_fᴴU_f). Everything
 is three element-axis einsums per band inside one lax.scan over
-subbands — (G, B, K, K) accumulator, no per-angle control flow, no
-(F, G, B, N) intermediates. λ_min runs on the 2K×2K real Hermitian
-embedding via the batched MXU Jacobi rotor (ops/jacobi.py), so the
-whole estimator is complex-free-backend safe and eig-free.
+subbands — a (K, K, G, B) accumulator (tiny K axes LEADING so the TPU
+tile padding of the two minor dims never multiplies the working set —
+measured 64× at K=2 the other way), no per-angle control flow, no
+(F, G, B, N) intermediates. λ_min is closed-form for K ≤ 2 (pure
+elementwise VPU math) and falls back to the batched MXU Jacobi rotor
+on the 2K×2K real Hermitian embedding (ops/jacobi.py) for K > 2, so
+the whole estimator is complex-free-backend safe and eig-free.
 """
 
 from __future__ import annotations
@@ -57,19 +60,18 @@ from doa_tpu.cpx import Cpx, einsum as cpx_einsum, embed_hermitian
 from doa_tpu.ops.jacobi import eigh_jacobi
 
 
-def _outer_last(a: Cpx, b: Cpx) -> Cpx:
-    """conj(a)[..., k] · b[..., l] → (..., k, l) (elementwise outer)."""
-    ac = a.conj()
-    return Cpx(ac.re[..., :, None], ac.im[..., :, None]) * Cpx(
-        b.re[..., None, :], b.im[..., None, :])
-
-
 def tops_leakage_row(A_ref: Cpx, S_ref: Cpx) -> Cpx:
-    """v[g, b, l] = â_rᴴ S_r — the band-independent steering-leakage
-    row (â_fᴴΦ_f = â_rᴴ: the unit phasors cancel). A_ref: (G, N)
-    UNNORMALIZED reference steering; S_ref: (B, N, K)."""
+    """v[l, g, b] = (â_rᴴ S_r)_l — the band-independent steering-
+    leakage row (â_fᴴΦ_f = â_rᴴ: the unit phasors cancel). A_ref:
+    (G, N) UNNORMALIZED reference steering; S_ref: (B, N, K).
+
+    Layout note (measured, r5): every TOPS tensor keeps the tiny K
+    axes LEADING and the large (G, B) axes minor. TPU tiles pad the
+    two minor dims to (8, 128); a (G, B, K, K) layout at K=2 pads
+    64× — the accumulate+finalize stages ran 178+660 ms at
+    (361, 2048) — while (K, K, G, B) is pad-free."""
     inv_sqrt_n = 1.0 / (A_ref.shape[-1] ** 0.5)
-    return cpx_einsum("gn,bnl->gbl", A_ref.conj() * inv_sqrt_n, S_ref)
+    return cpx_einsum("gn,bnl->lgb", A_ref.conj() * inv_sqrt_n, S_ref)
 
 
 def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
@@ -77,9 +79,10 @@ def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
     """Σ_f w_f·C_fᴴC_f over the given bands (a lax.scan; the sharded
     EP path calls this with each device's LOCAL band slice and psums
     the result). S_bands: Cpx[Fl, B, N, K]; A_bands: Cpx[Fl, G, N];
-    A_ref: (G, N) unnormalized; v from tops_leakage_row;
-    w_bands: f32[Fl] 0/1 mask (0 on the reference band itself).
-    → (ccr, cci, mus) — CC f32[G, B, K, K] planes plus the incoherent
+    A_ref: (G, N) unnormalized; v: Cpx (K, G, B) from
+    tops_leakage_row; w_bands: f32[Fl] 0/1 mask (0 on the reference
+    band itself).
+    → (ccr, cci, mus) — CC f32[K, K, G, B] planes plus the incoherent
     MUSIC guard sum f32[G, B] (Σ over ALL local bands of the
     max-normalized per-band signal-subspace MUSIC spectrum — free
     here: its denominator 1 − ‖S_fᴴâ_f‖² reuses the r leakage term)."""
@@ -87,6 +90,16 @@ def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
     G = A_bands.shape[1]
     inv_sqrt_n = 1.0 / (N ** 0.5)
     A_ref_c = A_ref.conj()
+    # Static-K unroll (measured, r5): K is tiny (1-4). Expressing the
+    # per-band work as batched einsums over a (G·B)-sized batch of
+    # K-dimensional matrices puts 740k micro-dots per band on the MXU
+    # issue path (the repo's measurement lesson 2 — the accumulate
+    # stage ran 175 ms at (361, 2048)). Unrolled, each (k, l) pair is
+    # ONE full (G, N)@(N, B) matmul plus elementwise (G, B) ops —
+    # K²+K matmuls per band, all MXU-shaped.
+    S_ref_cols = [Cpx(S_ref.re[..., c], S_ref.im[..., c])
+                  for c in range(K)]                     # (B, N) each
+    v_cols = [Cpx(v.re[c], v.im[c]) for c in range(K)]   # (G, B) each
 
     def step(acc, xs):
         sr, si, ar, ai, w = xs
@@ -95,27 +108,38 @@ def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
         # Φ_f = A_f ⊙ conj(A_r): entrywise product of unit phasors —
         # itself unit-modulus, so no normalization enters Φ.
         Phi = Cpx(ar, ai) * A_ref_c                      # (G, N)
-        # D2[b, k, l, n] = conj(S_f)[b, n, k] · S_r[b, n, l]
-        D2t = _outer_last(S_f, S_ref).transpose(0, 2, 3, 1)
-        # C0[g, b, k, l] = Σ_n Φ[g, n]·conj(S_f)[b,n,k]·S_r[b,n,l]
-        C0 = cpx_einsum("gn,bkln->gbkl", Phi, D2t)
-        # r[g, b, k] = S_fᴴâ_f leakage: Σ_n conj(S_f[b,n,k])·â_f[g,n]
-        r = cpx_einsum("gn,bnk->gbk", A_f, S_f.conj())
-        # C = S_fᴴU − (S_fᴴâ_f)(â_fᴴU);  â_fᴴU = â_rᴴS_r = v.
-        rv = Cpx(r.re[..., :, None], r.im[..., :, None]) * Cpx(
-            v.re[..., None, :], v.im[..., None, :])
-        C = C0 - rv
-        CC = cpx_einsum("gbkl,gbkm->gblm", C.conj(), C)
+        Sf_cols_c = [Cpx(S_f.re[..., c], -S_f.im[..., c])
+                     for c in range(K)]                  # conj, (B, N)
+        # r_k[g, b] = Σ_n conj(S_f[b,n,k])·â_f[g,n]
+        r = [cpx_einsum("gn,bn->gb", A_f, Sk) for Sk in Sf_cols_c]
+        # C[k][l] = Σ_n Φ[g,n]·conj(S_f)_k·S_r_l − r_k·v_l
+        C = [[cpx_einsum("gn,bn->gb", Phi, Sf_cols_c[k] * S_ref_cols[l])
+              - r[k] * v_cols[l] for l in range(K)] for k in range(K)]
+        # CC[l, m] = Σ_k conj(C[k][l])·C[k][m]
+        ccr_s, cci_s = [], []
+        for l in range(K):
+            for m in range(K):
+                s = None
+                for k in range(K):
+                    t = C[k][l].conj() * C[k][m]
+                    s = t if s is None else s + t
+                ccr_s.append(s.re)
+                cci_s.append(s.im)
+        CCr = jnp.stack(ccr_s).reshape(K, K, G, B)
+        CCi = jnp.stack(cci_s).reshape(K, K, G, B)
         # incoherent-MUSIC guard term (ALL bands, weight 1):
         # den = ‖(I − S_fS_fᴴ)â_f‖² = 1 − Σ_k |r|².
-        den = jnp.maximum(1.0 - jnp.sum(r.abs2(), axis=-1), 0.0)
+        den = 1.0
+        for rk in r:
+            den = den - rk.abs2()
+        den = jnp.maximum(den, 0.0)
         Pf = 1.0 / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
         Pf = Pf / jnp.max(Pf, axis=0, keepdims=True)     # (G, B)
-        return (acc[0] + w * CC.re, acc[1] + w * CC.im,
+        return (acc[0] + w * CCr, acc[1] + w * CCi,
                 acc[2] + Pf), None
 
-    acc0 = (jnp.zeros((G, B, K, K), jnp.float32),
-            jnp.zeros((G, B, K, K), jnp.float32),
+    acc0 = (jnp.zeros((K, K, G, B), jnp.float32),
+            jnp.zeros((K, K, G, B), jnp.float32),
             jnp.zeros((G, B), jnp.float32))
     xs = (S_bands.re, S_bands.im, A_bands.re, A_bands.im,
           jnp.asarray(w_bands, jnp.float32))
@@ -125,23 +149,45 @@ def tops_accumulate_cc(S_bands: Cpx, A_bands: Cpx, A_ref: Cpx,
 
 def tops_finalize(ccr, cci, v: Cpx, num_bands: int,
                   jacobi_sweeps: int = 8, guard=None):
-    """(Σ CᴴC planes, leakage row v, total band count F) →
-    max-normalized TOPS spectrum f32[B, G]:
+    """(Σ CᴴC planes f32[K, K, G, B], leakage row v (K, G, B), total
+    band count F) → max-normalized TOPS spectrum f32[B, G]:
     M = (F−1)·(I − vᴴv) − ΣCᴴC, P = 1/λ_min(M).
+
+    λ_min: closed form for K ≤ 2 (pure elementwise VPU math on (G, B)
+    planes — measured 660 → ~2 ms at (361, 2048) vs the batched
+    Jacobi on 740k padded 4×4 embeddings); embedded Jacobi rotor for
+    K > 2.
 
     guard: optional incoherent-MUSIC sum f32[G, B] (from
     tops_accumulate_cc). When given, the returned spectrum is the
     product of the TOPS and incoherent spectra (renormalized) — the
     transform-degeneracy false-peak suppressor (see tops_spectrum_cpx).
     """
-    K = ccr.shape[-1]
-    vv = _outer_last(v, v)                               # (G, B, K, K)
-    eyeK = jnp.eye(K, dtype=jnp.float32)
+    K = ccr.shape[0]
+    # vv[l, m, g, b] = conj(v)_l · v_m
+    vv = Cpx(v.re[:, None], -v.im[:, None]) * Cpx(
+        v.re[None, :], v.im[None, :])
     nb = float(num_bands - 1)
+    eyeK = jnp.eye(K, dtype=jnp.float32)[:, :, None, None]
     M = Cpx(nb * (eyeK - vv.re) - ccr, nb * (-vv.im) - cci)
-    E = embed_hermitian(M)                               # (G, B, 2K, 2K)
-    E = 0.5 * (E + jnp.swapaxes(E, -1, -2))
-    lam_min = eigh_jacobi(E, sweeps=jacobi_sweeps)[0][..., 0]
+    if K == 1:
+        lam_min = M.re[0, 0]
+    elif K == 2:
+        # Hermitian 2×2 [[a, c], [c̄, d]]: λ_min = (a+d)/2 −
+        # √(((a−d)/2)² + |c|²); enforce Hermitianity by averaging the
+        # off-diagonal pair (a, d real by construction).
+        a, d = M.re[0, 0], M.re[1, 1]
+        cr_ = 0.5 * (M.re[0, 1] + M.re[1, 0])
+        ci_ = 0.5 * (M.im[0, 1] - M.im[1, 0])
+        half = 0.5 * (a - d)
+        lam_min = 0.5 * (a + d) - jnp.sqrt(
+            half * half + cr_ * cr_ + ci_ * ci_)
+    else:
+        Mt = Cpx(jnp.moveaxis(M.re, (0, 1), (-2, -1)),
+                 jnp.moveaxis(M.im, (0, 1), (-2, -1)))  # (G, B, K, K)
+        E = embed_hermitian(Mt)                         # (G, B, 2K, 2K)
+        E = 0.5 * (E + jnp.swapaxes(E, -1, -2))
+        lam_min = eigh_jacobi(E, sweeps=jacobi_sweeps)[0][..., 0]
     P = 1.0 / jnp.maximum(lam_min, jnp.finfo(jnp.float32).tiny)
     if guard is not None:
         P = P * (guard / float(num_bands))
@@ -187,7 +233,13 @@ def wideband_tops_cpx(x: Cpx | None, A_stack: Cpx, W: Cpx | None, cfg,
     """Stream-level TOPS: x Cpx[T, N] (or pre-embedded subband windows
     E_sub f32[F, B, 2N, 2N] from the Pallas wideband front-end) →
     f32[B, G]. Mirrors wideband_music_cpx's calling convention so the
-    pipeline dispatch is symmetric across fusion modes."""
+    pipeline dispatch is symmetric across fusion modes.
+
+    Working-set note: the scan accumulators are (K, K, G, B)+(G, B)
+    f32 — 8·G·B·(K²+1) bytes live across the subband scan (≈ 24 MB at
+    G=361, B=2048, K=2; ≈ 5.4 GB at the c5 2-D grid G=16471). For
+    large G·B configs feed the pipeline smaller window blocks (the
+    streaming drivers already do) rather than one huge capture."""
     from doa_tpu.cpx import unembed_hermitian
     from doa_tpu.ops.esprit import signal_subspace_cpx
     from doa_tpu.ops.wideband import subband_covariances
