@@ -1,8 +1,8 @@
 """TOPS wideband DoA — Test of Orthogonality of Projected Subspaces.
 
-Third wideband fusion mode alongside the incoherent spectrum mean and
-coherent CSSM (ops/wideband.py). TOPS needs NO focusing matrices and no
-preliminary angle estimates (CSSM's classical weakness) yet still uses
+Fourth wideband fusion mode alongside the incoherent spectrum mean
+and coherent CSSM / auto-focused CSSM (ops/wideband.py). TOPS needs
+NO focusing matrices and no preliminary angle estimates (CSSM's classical weakness) yet still uses
 the whole band coherently — through subspace geometry instead of
 spectrum averaging. Reference algorithm: Yoon, Kaplan & McClellan,
 "TOPS: New DOA Estimator for Wideband Signals", IEEE Trans. SP 54(6),
@@ -41,8 +41,9 @@ Implementation: σ_min²(D) = λ_min(M) with the K×K Hermitian
 
 where v = â_rᴴ S_r (per-θ row, f-independent: â_fᴴΦ_f = â_rᴴ because
 the phasors cancel) and C_f = S_fᴴU_f − (S_fᴴâ_f)(â_fᴴU_f). Everything
-is three element-axis einsums per band inside one lax.scan over
-subbands — a (K, K, G, B) accumulator (tiny K axes LEADING so the TPU
+is K² statically-unrolled (G, N)@(N, B) matmuls + elementwise (G, B)
+ops per band inside one lax.scan over subbands — a (K, K, G, B)
+accumulator (tiny K axes LEADING so the TPU
 tile padding of the two minor dims never multiplies the working set —
 measured 64× at K=2 the other way), no per-angle control flow, no
 (F, G, B, N) intermediates. λ_min is closed-form for K ≤ 2 (pure

@@ -1,6 +1,6 @@
 """TOPS wideband fusion (ops/tops.py) — focusing-free coherent DoA.
 
-Third wideband fusion mode (incoherent | cssm | tops). No upstream
+Fourth wideband fusion mode (incoherent | cssm | cssm_auto | tops). No upstream
 equivalent (gr-doa is narrowband-only, SURVEY §0); the golden reference
 is the textbook matrix formulation in golden.tops_spectrum.
 """
